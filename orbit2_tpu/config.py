@@ -1,0 +1,206 @@
+"""Validated YAML configuration schema.
+
+Mirrors the reference's YAML layout (reference: configs/interm_8m.yaml:1,
+parsed with raw dict indexing at examples/intermediate_downscaling.py:393-455)
+but validates types/ranges up front instead of failing mid-run. Two additions
+over the reference: a `parallelism.seq_par` axis that is actually implemented,
+and `trainer.remat` to control per-Block rematerialization (the reference
+hardcodes activation checkpointing on, intermediate_downscaling.py:634-637).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+import yaml
+
+
+class ConfigError(ValueError):
+    pass
+
+
+@dataclass
+class TrainerConfig:
+    max_epochs: int = 100
+    checkpoint: Optional[str] = None
+    pretrain: Optional[str] = None
+    batch_size: int = 32
+    buffer_size: int = 400
+    num_workers: int = 2
+    data_type: str = "bfloat16"  # compute dtype; master params stay fp32
+    train_loss: str = "bayesian_tv"
+    remat: bool = True
+    seed: int = 0
+    # epochs trained per dataset phase before rotating to the next data_key
+    # (reference interval_epochs=1, intermediate_downscaling.py:490)
+    interval_epochs: int = 1
+
+    def validate(self):
+        if self.data_type not in ("bfloat16", "float32"):
+            raise ConfigError(f"data_type must be bfloat16|float32, got {self.data_type}")
+        if self.max_epochs <= 0 or self.batch_size <= 0:
+            raise ConfigError("max_epochs and batch_size must be positive")
+
+
+@dataclass
+class ParallelismConfig:
+    """Mesh axis sizes. data-parallel size = fsdp * simple_ddp (reference
+    intermediate_downscaling.py:449); total devices = fsdp * simple_ddp *
+    tensor_par * seq_par."""
+
+    fsdp: int = 1
+    simple_ddp: int = 1
+    tensor_par: int = 1
+    seq_par: int = 1
+
+    @property
+    def data_par(self) -> int:
+        return self.fsdp * self.simple_ddp
+
+    @property
+    def world_size(self) -> int:
+        return self.fsdp * self.simple_ddp * self.tensor_par * self.seq_par
+
+    def validate(self):
+        for name in ("fsdp", "simple_ddp", "tensor_par", "seq_par"):
+            if getattr(self, name) < 1:
+                raise ConfigError(f"parallelism.{name} must be >= 1")
+
+
+@dataclass
+class TilingConfig:
+    do_tiling: bool = False
+    div: int = 1
+    overlap: int = 0
+
+    def validate(self):
+        if self.do_tiling and self.div < 2:
+            raise ConfigError("tiling.div must be >= 2 when do_tiling")
+        if self.overlap < 0:
+            raise ConfigError("tiling.overlap must be >= 0")
+
+    @property
+    def effective_div(self) -> int:
+        return self.div if self.do_tiling else 1
+
+    @property
+    def effective_overlap(self) -> int:
+        return self.overlap if self.do_tiling else 0
+
+
+@dataclass
+class ModelConfig:
+    preset: str = "res_slimvit"
+    lr: float = 2e-3
+    weight_decay: float = 1e-5
+    beta_1: float = 0.9
+    beta_2: float = 0.99
+    warmup_epochs: int = 2
+    warmup_start_lr: float = 1e-7
+    eta_min: float = 1e-8
+    superres_mag: int = 4
+    cnn_ratio: int = 4
+    patch_size: int = 2
+    embed_dim: int = 256
+    depth: int = 6
+    decoder_depth: int = 4
+    num_heads: int = 4
+    mlp_ratio: float = 4.0
+    drop_path: float = 0.1
+    drop_rate: float = 0.1
+    attention_impl: str = "auto"  # auto | pallas | xla | naive
+
+    def validate(self):
+        if self.embed_dim % self.num_heads != 0:
+            raise ConfigError("embed_dim must be divisible by num_heads")
+        if self.attention_impl not in ("auto", "pallas", "xla", "naive"):
+            raise ConfigError(f"unknown attention_impl {self.attention_impl}")
+
+
+@dataclass
+class DataConfig:
+    low_res_dir: Dict[str, str] = field(default_factory=dict)
+    high_res_dir: Dict[str, str] = field(default_factory=dict)
+    spatial_resolution: Dict[str, float] = field(default_factory=dict)
+    default_vars: List[str] = field(default_factory=list)
+    dict_in_variables: Dict[str, List[str]] = field(default_factory=dict)
+    dict_out_variables: Dict[str, List[str]] = field(default_factory=dict)
+    var_weights: Dict[str, float] = field(default_factory=dict)
+
+    def validate(self):
+        if set(self.low_res_dir) != set(self.high_res_dir):
+            raise ConfigError("low_res_dir and high_res_dir must have identical keys")
+        for key in self.low_res_dir:
+            if key not in self.dict_in_variables:
+                raise ConfigError(f"dict_in_variables missing data key {key}")
+            if key not in self.dict_out_variables:
+                raise ConfigError(f"dict_out_variables missing data key {key}")
+            for v in self.dict_in_variables[key]:
+                if v not in self.default_vars:
+                    raise ConfigError(f"in variable {v} not in default_vars")
+
+
+@dataclass
+class Config:
+    trainer: TrainerConfig = field(default_factory=TrainerConfig)
+    parallelism: ParallelismConfig = field(default_factory=ParallelismConfig)
+    tiling: TilingConfig = field(default_factory=TilingConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+
+    def validate(self) -> "Config":
+        self.trainer.validate()
+        self.parallelism.validate()
+        self.tiling.validate()
+        self.model.validate()
+        self.data.validate()
+        if self.model.num_heads % self.parallelism.tensor_par != 0:
+            # reference asserts the same (intermediate_downscaling.py:168)
+            raise ConfigError("num_heads must be divisible by tensor_par")
+        return self
+
+
+def _build(cls, raw: Optional[Dict[str, Any]]):
+    raw = dict(raw or {})
+    names = {f.name for f in dataclasses.fields(cls)}
+    unknown = set(raw) - names
+    if unknown:
+        raise ConfigError(f"unknown keys for {cls.__name__}: {sorted(unknown)}")
+    kwargs = {}
+    for f in dataclasses.fields(cls):
+        if f.name not in raw or raw[f.name] is None:
+            continue
+        val = raw[f.name]
+        # YAML gives "2e-3" as str sometimes; coerce scalars
+        if f.type in ("int",) or f.default.__class__ is int and not isinstance(f.default, bool):
+            pass
+        kwargs[f.name] = val
+    cfg = cls(**kwargs)
+    # coerce numeric strings (reference float()s them manually, :429-436)
+    for f in dataclasses.fields(cls):
+        v = getattr(cfg, f.name)
+        if isinstance(getattr(cls(), f.name, None), float) and isinstance(v, (str, int)):
+            setattr(cfg, f.name, float(v))
+        elif isinstance(getattr(cls(), f.name, None), int) and isinstance(v, str):
+            setattr(cfg, f.name, int(v))
+    return cfg
+
+
+def load_config(path_or_dict) -> Config:
+    """Load and validate a config from a YAML path or a raw dict."""
+    if isinstance(path_or_dict, (str, os.PathLike)):
+        with open(path_or_dict) as f:
+            raw = yaml.safe_load(f)
+    else:
+        raw = dict(path_or_dict)
+    cfg = Config(
+        trainer=_build(TrainerConfig, raw.get("trainer")),
+        parallelism=_build(ParallelismConfig, raw.get("parallelism")),
+        tiling=_build(TilingConfig, raw.get("tiling")),
+        model=_build(ModelConfig, raw.get("model")),
+        data=_build(DataConfig, raw.get("data")),
+    )
+    return cfg.validate()

@@ -1,0 +1,257 @@
+"""IterDataModule — the data module used by all ORBIT-2 entry points.
+
+Rebuild of reference src/climate_learn/data/itermodule.py:29-506 without
+torch: dataloaders are plain generators of numpy batches, prefetched by a
+background thread (orbit2_tpu/data/loader.py) and staged to device by the
+trainer. Protocol methods (`get_lat_lon`, `get_data_dims`, `get_climatology`,
+`get_normalize`, `get_out_transforms`, `setup`, `*_dataloader`) match the
+reference so loaders.py can stay 1:1.
+"""
+
+from __future__ import annotations
+
+import copy
+import glob
+import os
+import random
+from collections import OrderedDict
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from orbit2_tpu.data.reader import (
+    ContinuousForecast,
+    DirectForecast,
+    Downscale,
+    IndividualDataIter,
+    NpyReader,
+    ShuffleIterableDataset,
+    tile_shapes,
+)
+from orbit2_tpu.data.transforms import LogTransform, Normalize
+from orbit2_tpu.data.processing.era5_constants import PRECIP_VARIABLES
+from orbit2_tpu.data.loader import BatchLoader
+
+
+class IterDataModule:
+    def __init__(
+        self,
+        task: str,
+        inp_root_dir: str,
+        out_root_dir: str,
+        in_vars: List[str],
+        out_vars: Optional[List[str]] = None,
+        data_par_size: int = 1,
+        data_par_rank: int = 0,
+        src: Optional[str] = None,
+        history: int = 1,
+        window: int = 6,
+        pred_range: int = 6,
+        random_lead_time: bool = True,
+        max_pred_range: int = 120,
+        hrs_each_step: int = 1,
+        subsample: int = 1,
+        buffer_size: int = 10000,
+        batch_size: int = 64,
+        num_workers: int = 0,
+        drop_last: bool = False,
+        div: int = 1,
+        overlap: int = 4,
+        seed: int = 0,
+    ):
+        self.task = task
+        self.inp_root_dir = inp_root_dir
+        self.out_root_dir = out_root_dir
+        self.in_vars = list(in_vars)
+        self.out_vars = list(out_vars) if out_vars is not None else list(in_vars)
+        self.subsample = subsample
+        self.buffer_size = buffer_size
+        self.batch_size = batch_size
+        self.num_workers = num_workers
+        self.drop_last = drop_last
+        self.data_par_size = data_par_size
+        self.data_par_rank = data_par_rank
+        self.div = div
+        self.overlap = overlap
+        self.history = history
+        self.seed = seed
+
+        if task in ("direct-forecasting", "iterative-forecasting"):
+            self.dataset_caller = DirectForecast
+            self.dataset_arg = {
+                "src": src,
+                "pred_range": pred_range,
+                "history": history,
+                "window": window,
+            }
+            self.continuous = False
+        elif task == "continuous-forecasting":
+            self.dataset_caller = ContinuousForecast
+            self.dataset_arg = {
+                "random_lead_time": random_lead_time,
+                "min_pred_range": pred_range,
+                "max_pred_range": max_pred_range,
+                "hrs_each_step": hrs_each_step,
+                "history": history,
+                "window": window,
+            }
+            self.continuous = True
+        elif task == "downscaling":
+            self.dataset_caller = Downscale
+            self.dataset_arg = {}
+            self.continuous = False
+        else:
+            raise ValueError(f"unknown task {task}")
+
+        def lister(root, split):
+            return sorted(glob.glob(os.path.join(root, split, "*.npz")))
+
+        self.inp_lister_train = lister(inp_root_dir, "train")
+        self.out_lister_train = lister(out_root_dir, "train")
+        self.inp_lister_val = lister(inp_root_dir, "val")
+        self.out_lister_val = lister(out_root_dir, "val")
+        self.inp_lister_test = lister(inp_root_dir, "test")
+        self.out_lister_test = lister(out_root_dir, "test")
+
+        self.transforms = self.get_normalize(inp_root_dir, self.in_vars)
+        self.output_transforms = self.get_normalize(out_root_dir, self.out_vars)
+        self.data_train = None
+        self.data_val = None
+        self.data_test = None
+
+    # ---- protocol methods -------------------------------------------------
+
+    def get_lat_lon(self):
+        lat = np.load(os.path.join(self.out_root_dir, "lat.npy"))
+        lon = np.load(os.path.join(self.out_root_dir, "lon.npy"))
+        return lat, lon
+
+    def get_data_variables(self):
+        out_vars = copy.deepcopy(self.out_vars)
+        if "2m_temperature_extreme_mask" in out_vars:
+            out_vars.remove("2m_temperature_extreme_mask")
+        return self.in_vars, out_vars
+
+    def get_data_dims(self):
+        in_lat = len(np.load(os.path.join(self.inp_root_dir, "lat.npy")))
+        in_lon = len(np.load(os.path.join(self.inp_root_dir, "lon.npy")))
+        out_lat = len(np.load(os.path.join(self.out_root_dir, "lat.npy")))
+        out_lon = len(np.load(os.path.join(self.out_root_dir, "lon.npy")))
+
+        out_vars = copy.deepcopy(self.out_vars)
+        if "2m_temperature_extreme_mask" in out_vars:
+            out_vars.remove("2m_temperature_extreme_mask")
+
+        if self.task == "downscaling":
+            (hgt, wid), (out_hgt, out_wid) = tile_shapes(
+                self.div, self.overlap, in_lat, in_lon, out_lat, out_lon
+            )
+            in_size = (self.batch_size, len(self.in_vars), hgt, wid)
+            out_size = (self.batch_size, len(out_vars), out_hgt, out_wid)
+        else:
+            in_size = (self.batch_size, self.history, len(self.in_vars), out_lat, out_lon)
+            out_size = (self.batch_size, len(out_vars), out_lat, out_lon)
+        return in_size, out_size
+
+    def get_normalize(self, root_dir, variables):
+        """Per-variable Normalize, except precip -> LogTransform
+        (reference itermodule.py:202-211)."""
+        normalize_mean = dict(np.load(os.path.join(root_dir, "normalize_mean.npz")))
+        normalize_std = dict(np.load(os.path.join(root_dir, "normalize_std.npz")))
+        normed = OrderedDict()
+        for var in variables:
+            if var in PRECIP_VARIABLES:
+                normed[var] = LogTransform(m2mm=True, log1p=True, thres_mm_per_day=0.25)
+            else:
+                normed[var] = Normalize(normalize_mean[var][0], normalize_std[var][0])
+        return normed
+
+    def get_out_transforms(self):
+        return {
+            k: v
+            for k, v in self.output_transforms.items()
+            if k != "2m_temperature_extreme_mask"
+        }
+
+    def get_climatology(self, split="val"):
+        path = os.path.join(self.out_root_dir, split, "climatology.npz")
+        clim_dict = np.load(path)
+        return {
+            var: np.squeeze(clim_dict[var].astype(np.float32), axis=0)
+            for var in self.out_vars
+            if var != "2m_temperature_extreme_mask"
+        }
+
+    # ---- pipeline construction --------------------------------------------
+
+    def _pipeline(self, inp_files, out_files, shuffle: bool, seed_offset: int):
+        rng = random.Random(self.seed + seed_offset)
+        reader = NpyReader(
+            inp_file_list=inp_files,
+            out_file_list=out_files,
+            variables=self.in_vars,
+            out_variables=self.out_vars,
+            data_par_size=self.data_par_size,
+            data_par_rank=self.data_par_rank,
+            num_workers=1,
+            worker_id=0,
+            shuffle=shuffle,
+            div=self.div,
+            overlap=self.overlap,
+            rng=rng,
+        )
+        it = IndividualDataIter(
+            self.dataset_caller(reader, **self.dataset_arg),
+            transforms=self.transforms,
+            output_transforms=self.output_transforms,
+            subsample=self.subsample,
+        )
+        return it, rng
+
+    def setup(self, stage: Optional[str] = None):
+        if stage != "test":
+            train_iter, rng = self._pipeline(
+                self.inp_lister_train, self.out_lister_train, shuffle=True, seed_offset=0
+            )
+            self.data_train = ShuffleIterableDataset(train_iter, self.buffer_size, rng=rng)
+            self.data_val, _ = self._pipeline(
+                self.inp_lister_val, self.out_lister_val, shuffle=False, seed_offset=1
+            )
+        self.data_test, _ = self._pipeline(
+            self.inp_lister_test, self.out_lister_test, shuffle=False, seed_offset=2
+        )
+
+    # ---- dataloaders -------------------------------------------------------
+
+    def train_dataloader(self):
+        if self.data_train is None:
+            raise RuntimeError("You must call setup() before the data loaders")
+        return BatchLoader(
+            self.data_train,
+            batch_size=self.batch_size,
+            drop_last=self.drop_last,
+            continuous=self.continuous,
+            prefetch=max(2, self.num_workers),
+        )
+
+    def val_dataloader(self):
+        if self.data_val is None:
+            raise RuntimeError("You must call setup() before the data loaders")
+        return BatchLoader(
+            self.data_val,
+            batch_size=self.batch_size,
+            drop_last=False,
+            continuous=self.continuous,
+            prefetch=max(2, self.num_workers),
+        )
+
+    def test_dataloader(self):
+        if self.data_test is None:
+            raise RuntimeError("You must call setup() before the data loaders")
+        return BatchLoader(
+            self.data_test,
+            batch_size=self.batch_size,
+            drop_last=False,
+            continuous=self.continuous,
+            prefetch=max(2, self.num_workers),
+        )

@@ -1,0 +1,362 @@
+"""Streaming npz-shard reader with TILES spatial tiling.
+
+TPU-native rebuild of the reference's data pipeline
+(src/climate_learn/data/iterdataset.py:21-404): plain numpy generators, no
+torch DataLoader. File-level sharding is keyed by (host shard rank, worker id)
+exactly like the reference keys it by (data-parallel rank, dataloader worker)
+(iterdataset.py:52-88); in JAX the per-device batch split happens later at
+device_put time, so "rank" here means `jax.process_index()`-style host rank.
+
+Tiling (the TILES algorithm): each field is cut into div x div tiles with an
+asymmetric halo — the longitude halo is 2x the latitude halo because lon
+resolution is 2x lat in the ERA5 grids (reference iterdataset.py:112-121);
+edge tiles borrow their halo inward so every tile has identical shape
+(:123-170). The same index math drives stitched inference (utils/visualize).
+"""
+
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def halo_lrtb(overlap: int) -> Tuple[int, int, int, int]:
+    """(left, right, top, bottom) halo widths in *input* pixels.
+
+    Even overlap: symmetric; odd overlap: right/bottom get the extra row, and
+    lon halos are always 2x lat halos (reference iterdataset.py:112-119).
+    """
+    if overlap % 2 == 0:
+        left = right = overlap // 2 * 2
+        top = bottom = overlap // 2
+    else:
+        left = overlap // 2 * 2
+        right = (overlap // 2 + 1) * 2
+        top = overlap // 2
+        bottom = overlap // 2 + 1
+    return left, right, top, bottom
+
+
+@dataclass(frozen=True)
+class TileSlice:
+    vindex: int
+    hindex: int
+    yi: Tuple[int, int]
+    xi: Tuple[int, int]
+    yo: Tuple[int, int]
+    xo: Tuple[int, int]
+
+
+def tile_slices(
+    div: int, overlap: int, yinp: int, xinp: int, yout: int, xout: int
+) -> List[TileSlice]:
+    """All div*div tile slices for an (yinp, xinp) -> (yout, xout) SR pair.
+
+    Exact port of the slice arithmetic at reference iterdataset.py:123-170.
+    """
+    hmul = xout // xinp
+    vmul = yout // yinp
+    left, right, top, bottom = halo_lrtb(overlap)
+    tiles = []
+    for vindex in range(div):
+        for hindex in range(div):
+            if div == 1:
+                xi1, xi2, xo1, xo2 = 0, xinp, 0, xout
+                yi1, yi2, yo1, yo2 = 0, yinp, 0, yout
+            else:
+                xi1 = xinp // div * hindex
+                xi2 = xinp // div * (hindex + 1)
+                xo1 = xout // div * hindex
+                xo2 = xout // div * (hindex + 1)
+                if hindex == 0:
+                    xi2 += left
+                    xo2 += left * hmul
+                else:
+                    xi1 -= left
+                    xo1 -= left * hmul
+                if hindex == div - 1:
+                    xi1 -= right
+                    xo1 -= right * hmul
+                else:
+                    xi2 += right
+                    xo2 += right * hmul
+
+                yi1 = yinp // div * vindex
+                yi2 = yinp // div * (vindex + 1)
+                yo1 = yout // div * vindex
+                yo2 = yout // div * (vindex + 1)
+                if vindex == 0:
+                    yi2 += top
+                    yo2 += top * vmul
+                else:
+                    yi1 -= top
+                    yo1 -= top * vmul
+                if vindex == div - 1:
+                    yi1 -= bottom
+                    yo1 -= bottom * vmul
+                else:
+                    yi2 += bottom
+                    yo2 += bottom * vmul
+            tiles.append(
+                TileSlice(vindex, hindex, (yi1, yi2), (xi1, xi2), (yo1, yo2), (xo1, xo2))
+            )
+    return tiles
+
+
+def tile_shapes(
+    div: int, overlap: int, in_lat: int, in_lon: int, out_lat: int, out_lon: int
+) -> Tuple[Tuple[int, int], Tuple[int, int]]:
+    """(in_hw, out_hw) tile shapes (reference itermodule.py:161-198)."""
+    left, right, top, bottom = halo_lrtb(overlap)
+    if div == 1:
+        return (in_lat, in_lon), (out_lat, out_lon)
+    hgt = in_lat // div + top + bottom
+    wid = in_lon // div + left + right
+    out_hgt = out_lat // div + (top + bottom) * (out_lat // in_lat)
+    out_wid = out_lon // div + (left + right) * (out_lon // in_lon)
+    return (hgt, wid), (out_hgt, out_wid)
+
+
+Sample = Tuple[Dict[str, np.ndarray], Dict[str, np.ndarray], Sequence[str], Sequence[str]]
+
+
+class NpyReader:
+    """Iterates (inp_dict, out_dict, in_vars, out_vars) of [T, h, w] arrays
+    per tile per shard file (reference iterdataset.py:21-177)."""
+
+    def __init__(
+        self,
+        inp_file_list: Sequence[str],
+        out_file_list: Sequence[str],
+        variables: Sequence[str],
+        out_variables: Optional[Sequence[str]] = None,
+        data_par_size: int = 1,
+        data_par_rank: int = 0,
+        num_workers: int = 1,
+        worker_id: int = 0,
+        shuffle: bool = False,
+        div: int = 1,
+        overlap: int = 4,
+        rng: Optional[random.Random] = None,
+    ):
+        assert len(inp_file_list) == len(out_file_list)
+        self.inp_file_list = [f for f in inp_file_list if "climatology" not in f]
+        self.out_file_list = [f for f in out_file_list if "climatology" not in f]
+        self.variables = list(variables)
+        self.out_variables = list(out_variables) if out_variables is not None else list(variables)
+        self.shuffle = shuffle
+        self.data_par_size = data_par_size
+        self.data_par_rank = data_par_rank
+        self.num_workers = max(1, num_workers)
+        self.worker_id = worker_id
+        self.div = div
+        self.overlap = overlap
+        self.rng = rng or random.Random()
+
+    def _sharded_files(self) -> List[Tuple[str, str]]:
+        pairs = list(zip(self.inp_file_list, self.out_file_list))
+        if self.shuffle:
+            self.rng.shuffle(pairs)
+        n_files = len(pairs)
+        total_workers = self.num_workers * self.data_par_size
+        # wrap-around replication when files < shards (reference :61-66)
+        if n_files < total_workers:
+            n_multiply = total_workers // n_files
+            n_remain = total_workers - n_files * n_multiply
+            pairs = pairs * n_multiply + pairs[:n_remain]
+            n_files = len(pairs)
+        num_shards = self.num_workers * self.data_par_size
+        per_worker = n_files // num_shards
+        shard_id = self.data_par_rank * self.num_workers + self.worker_id
+        return pairs[shard_id * per_worker : (shard_id + 1) * per_worker]
+
+    def __iter__(self) -> Iterator[Sample]:
+        for path_inp, path_out in self._sharded_files():
+            inp_data = np.load(path_inp)
+            out_data = inp_data if path_out == path_inp else np.load(path_out)
+
+            k0, k1 = self.variables[0], self.out_variables[0]
+            # arrays are [T, 1, H, W] (reference :103-110)
+            yinp, xinp = inp_data[k0].shape[2], inp_data[k0].shape[3]
+            yout, xout = out_data[k1].shape[2], out_data[k1].shape[3]
+
+            for t in tile_slices(self.div, self.overlap, yinp, xinp, yout, xout):
+                yield (
+                    {
+                        k: np.squeeze(
+                            inp_data[k][:, :, t.yi[0] : t.yi[1], t.xi[0] : t.xi[1]], axis=1
+                        )
+                        for k in self.variables
+                    },
+                    {
+                        k: np.squeeze(
+                            out_data[k][:, :, t.yo[0] : t.yo[1], t.xo[0] : t.xo[1]], axis=1
+                        )
+                        for k in self.out_variables
+                    },
+                    self.variables,
+                    self.out_variables,
+                )
+
+
+class Downscale:
+    """float32 cast (reference iterdataset.py:313-328)."""
+
+    def __init__(self, dataset):
+        self.dataset = dataset
+
+    def __iter__(self):
+        for inp, out, variables, out_variables in self.dataset:
+            yield (
+                {k: np.asarray(v, dtype=np.float32) for k, v in inp.items()},
+                {k: np.asarray(v, dtype=np.float32) for k, v in out.items()},
+                variables,
+                out_variables,
+            )
+
+
+class DirectForecast:
+    """history/window/pred_range rolling forecast pairs
+    (reference iterdataset.py:194-240)."""
+
+    def __init__(self, dataset, src, pred_range=6, history=3, window=6):
+        self.dataset = dataset
+        self.history = history
+        if src == "era5":
+            self.pred_range = pred_range
+            self.window = window
+        elif src == "mpi-esm1-2-hr":
+            assert pred_range % 6 == 0 and window % 6 == 0
+            self.pred_range = pred_range // 6
+            self.window = window // 6
+        else:
+            self.pred_range = pred_range
+            self.window = window
+
+    def __iter__(self):
+        for inp_data, out_data, variables, out_variables in self.dataset:
+            inp = {
+                k: np.stack(
+                    [np.roll(v.astype(np.float32), -t * self.window, axis=0)
+                     for t in range(self.history)],
+                    axis=0,
+                )
+                for k, v in inp_data.items()
+            }
+            last_idx = -((self.history - 1) * self.window + self.pred_range)
+            inp = {k: np.swapaxes(v[:, :last_idx], 0, 1) for k, v in inp.items()}  # N,T,H,W
+            n = inp[variables[0]].shape[0]
+            output_ids = np.arange(n) + (self.history - 1) * self.window + self.pred_range
+            out = {k: v.astype(np.float32)[output_ids] for k, v in out_data.items()}
+            yield inp, out, variables, out_variables
+
+
+class ContinuousForecast:
+    """Random lead-time forecasting (reference iterdataset.py:243-310)."""
+
+    def __init__(
+        self,
+        dataset,
+        random_lead_time=True,
+        min_pred_range=6,
+        max_pred_range=120,
+        hrs_each_step=1,
+        history=3,
+        window=6,
+        rng: Optional[np.random.Generator] = None,
+    ):
+        if not random_lead_time:
+            assert min_pred_range == max_pred_range
+        self.dataset = dataset
+        self.random_lead_time = random_lead_time
+        self.min_pred_range = min_pred_range
+        self.max_pred_range = max_pred_range
+        self.hrs_each_step = hrs_each_step
+        self.history = history
+        self.window = window
+        self.rng = rng or np.random.default_rng()
+
+    def __iter__(self):
+        for inp_data, out_data, variables, out_variables in self.dataset:
+            inp = {
+                k: np.stack(
+                    [np.roll(v.astype(np.float32), -t * self.window, axis=0)
+                     for t in range(self.history)],
+                    axis=0,
+                )
+                for k, v in inp_data.items()
+            }
+            last_idx = -((self.history - 1) * self.window + self.max_pred_range)
+            inp = {k: np.swapaxes(v[:, :last_idx], 0, 1) for k, v in inp.items()}
+            n = inp[variables[0]].shape[0]
+            if self.random_lead_time:
+                predict_ranges = self.rng.integers(
+                    self.min_pred_range, self.max_pred_range + 1, size=(n,)
+                )
+            else:
+                predict_ranges = np.full((n,), self.max_pred_range, dtype=np.int64)
+            lead_times = (self.hrs_each_step * predict_ranges / 100).astype(np.float32)
+            output_ids = np.arange(n) + (self.history - 1) * self.window + predict_ranges
+            out = {k: v.astype(np.float32)[output_ids] for k, v in out_data.items()}
+            yield inp, out, lead_times, variables, out_variables
+
+
+class IndividualDataIter:
+    """Per-sample slicing at `subsample` stride + normalization
+    (reference iterdataset.py:331-383)."""
+
+    def __init__(self, dataset, transforms, output_transforms, subsample=6):
+        self.dataset = dataset
+        self.transforms = transforms
+        self.output_transforms = output_transforms
+        self.subsample = subsample
+
+    def __iter__(self):
+        continuous = isinstance(self.dataset, ContinuousForecast)
+        for sample in self.dataset:
+            if continuous:
+                inp, out, lead_times, variables, out_variables = sample
+            else:
+                inp, out, variables, out_variables = sample
+            inp_lens = {inp[k].shape[0] for k in inp}
+            out_lens = {out[k].shape[0] for k in out}
+            assert len(inp_lens) == 1 and len(out_lens) == 1
+            (inp_len,) = inp_lens
+            assert inp_len == next(iter(out_lens))
+            for i in range(0, inp_len, self.subsample):
+                x = {k: inp[k][i] for k in inp}
+                y = {k: out[k][i] for k in out}
+                if self.transforms is not None:
+                    x = {k: self.transforms[k](v) for k, v in x.items()}
+                if self.output_transforms is not None:
+                    y = {k: self.output_transforms[k](v) for k, v in y.items()}
+                if continuous:
+                    yield x, y, lead_times[i], variables, out_variables
+                else:
+                    yield x, y, variables, out_variables
+
+
+class ShuffleIterableDataset:
+    """Streaming shuffle buffer (reference iterdataset.py:386-404)."""
+
+    def __init__(self, dataset, buffer_size: int, rng: Optional[random.Random] = None):
+        assert buffer_size > 0
+        self.dataset = dataset
+        self.buffer_size = buffer_size
+        self.rng = rng or random.Random()
+
+    def __iter__(self):
+        buf = []
+        for x in self.dataset:
+            if len(buf) == self.buffer_size:
+                idx = self.rng.randint(0, self.buffer_size - 1)
+                yield buf[idx]
+                buf[idx] = x
+            else:
+                buf.append(x)
+        self.rng.shuffle(buf)
+        while buf:
+            yield buf.pop()

@@ -1,0 +1,224 @@
+"""Transformer building blocks (flax.linen).
+
+Rebuild of reference models/hub/components/{attention.py, mlp.py,
+vit_blocks.py}. The Megatron column/row weight splits and the hand-written
+autograd collectives (F_Identity_B_AllReduce / all_reduce pairs,
+attention.py:46-48, 84-85; mlp.py:59-71) do NOT appear here: tensor
+parallelism is expressed as PartitionSpecs on the qkv/proj/fc1/fc2 kernels
+(orbit2_tpu/parallel/sharding.py) and GSPMD inserts the identical collectives
+— differentiable by construction.
+
+Compute dtype is `dtype` (bf16 in production); parameters stay fp32
+(`param_dtype`), replacing the reference's FSDP MixedPrecision policy
+(intermediate_downscaling.py:601-607).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from orbit2_tpu.ops.attention import dot_product_attention
+
+trunc_normal_init = nn.initializers.truncated_normal(stddev=0.02, lower=-2.0, upper=2.0)
+
+Dtype = jnp.dtype
+
+
+class DropPath(nn.Module):
+    """Stochastic depth per sample (timm DropPath used at vit_blocks.py:61)."""
+
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if self.rate == 0.0 or deterministic:
+            return x
+        rng = self.make_rng("dropout")
+        keep = 1.0 - self.rate
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+class LayerScale(nn.Module):
+    """Reference vit_blocks.py:9-21."""
+
+    dim: int
+    init_values: float = 1e-5
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        gamma = self.param(
+            "gamma", nn.initializers.constant(self.init_values), (self.dim,),
+            self.param_dtype,
+        )
+        return x * gamma.astype(x.dtype)
+
+
+class Mlp(nn.Module):
+    """fc1 -> GELU -> drop -> fc2 -> drop (reference mlp.py:22-73)."""
+
+    hidden_features: int
+    out_features: Optional[int] = None
+    drop: float = 0.0
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        out_features = self.out_features or x.shape[-1]
+        x = nn.Dense(
+            self.hidden_features, use_bias=self.use_bias, dtype=self.dtype,
+            param_dtype=self.param_dtype, kernel_init=trunc_normal_init, name="fc1",
+        )(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dropout(self.drop, deterministic=deterministic)(x)
+        x = nn.Dense(
+            out_features, use_bias=self.use_bias, dtype=self.dtype,
+            param_dtype=self.param_dtype, kernel_init=trunc_normal_init, name="fc2",
+        )(x)
+        x = nn.Dropout(self.drop, deterministic=deterministic)(x)
+        return x
+
+
+class Attention(nn.Module):
+    """Self attention with selectable kernel (reference attention.py:12-87)."""
+
+    dim: int
+    num_heads: int = 8
+    qkv_bias: bool = False
+    qk_norm: bool = False
+    proj_bias: bool = True
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    attention_impl: str = "xla"
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        B, N, C = x.shape
+        head_dim = self.dim // self.num_heads
+        qkv = nn.Dense(
+            self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype,
+            param_dtype=self.param_dtype, kernel_init=trunc_normal_init, name="qkv",
+        )(x)
+        qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        if self.qk_norm:
+            q = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype, name="q_norm")(q)
+            k = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype, name="k_norm")(k)
+
+        drop_rate = 0.0 if deterministic else self.attn_drop
+        rng = self.make_rng("dropout") if drop_rate > 0.0 else None
+        x = dot_product_attention(
+            q, k, v, impl=self.attention_impl, dropout_rate=drop_rate, dropout_rng=rng
+        )
+        x = x.reshape(B, N, C)
+        x = nn.Dense(
+            self.dim, use_bias=self.proj_bias, dtype=self.dtype,
+            param_dtype=self.param_dtype, kernel_init=trunc_normal_init, name="proj",
+        )(x)
+        x = nn.Dropout(self.proj_drop, deterministic=deterministic)(x)
+        return x
+
+
+class VariableMappingAttention(nn.Module):
+    """Cross attention collapsing V variable token streams to N_a aggregated
+    streams (reference attention.py:98-183). Query comes from a learnable
+    var_query; keys/values from the per-variable tokens."""
+
+    dim: int
+    num_heads: int = 8
+    qkv_bias: bool = False
+    qk_norm: bool = False
+    proj_bias: bool = True
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    attention_impl: str = "xla"
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, var_query, x, deterministic: bool = True):
+        """var_query: [B', N_a, C]; x: [B', V, C] where B' = B*L."""
+        Bp, N_i, C = x.shape
+        N_a = var_query.shape[1]
+        head_dim = self.dim // self.num_heads
+
+        q = nn.Dense(
+            self.dim, use_bias=self.qkv_bias, dtype=self.dtype,
+            param_dtype=self.param_dtype, kernel_init=trunc_normal_init, name="q",
+        )(var_query).reshape(Bp, N_a, self.num_heads, head_dim)
+        kv = nn.Dense(
+            self.dim * 2, use_bias=self.qkv_bias, dtype=self.dtype,
+            param_dtype=self.param_dtype, kernel_init=trunc_normal_init, name="kv",
+        )(x).reshape(Bp, N_i, 2, self.num_heads, head_dim)
+        k, v = kv[:, :, 0], kv[:, :, 1]
+        if self.qk_norm:
+            q = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype, name="q_norm")(q)
+            k = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype, name="k_norm")(k)
+
+        drop_rate = 0.0 if deterministic else self.attn_drop
+        rng = self.make_rng("dropout") if drop_rate > 0.0 else None
+        # V (number of variables) is small — plain einsum attention maps to
+        # one batched MXU matmul; a flash kernel would only add overhead here.
+        out = dot_product_attention(
+            q, k, v, impl="xla", dropout_rate=drop_rate, dropout_rng=rng
+        )
+        out = out.reshape(Bp, N_a, self.dim)
+        out = nn.Dense(
+            self.dim, use_bias=self.proj_bias, dtype=self.dtype,
+            param_dtype=self.param_dtype, kernel_init=trunc_normal_init, name="proj",
+        )(out)
+        out = nn.Dropout(self.proj_drop, deterministic=deterministic)(out)
+        return out
+
+
+class Block(nn.Module):
+    """Pre-LN transformer block (reference vit_blocks.py:25-81):
+    x = x + DropPath(LS(Attn(LN(x)))); x = x + DropPath(LS(Mlp(LN(x))))."""
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = False
+    qk_norm: bool = False
+    proj_bias: bool = True
+    proj_drop: float = 0.0
+    attn_drop: float = 0.0
+    init_values: Optional[float] = None
+    drop_path: float = 0.0
+    attention_impl: str = "xla"
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        y = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype, name="norm1")(x)
+        y = Attention(
+            dim=self.dim, num_heads=self.num_heads, qkv_bias=self.qkv_bias,
+            qk_norm=self.qk_norm, proj_bias=self.proj_bias, attn_drop=self.attn_drop,
+            proj_drop=self.proj_drop, attention_impl=self.attention_impl,
+            dtype=self.dtype, param_dtype=self.param_dtype, name="attn",
+        )(y, deterministic)
+        if self.init_values:
+            y = LayerScale(self.dim, self.init_values, self.param_dtype, name="ls1")(y)
+        x = x + DropPath(self.drop_path, name="drop_path1")(y, deterministic)
+
+        y = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype, name="norm2")(x)
+        y = Mlp(
+            hidden_features=int(self.dim * self.mlp_ratio), drop=self.proj_drop,
+            use_bias=self.proj_bias, dtype=self.dtype, param_dtype=self.param_dtype,
+            name="mlp",
+        )(y, deterministic)
+        if self.init_values:
+            y = LayerScale(self.dim, self.init_values, self.param_dtype, name="ls2")(y)
+        x = x + DropPath(self.drop_path, name="drop_path2")(y, deterministic)
+        return x

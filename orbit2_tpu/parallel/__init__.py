@@ -1,0 +1,17 @@
+from orbit2_tpu.parallel.mesh import (
+    AXIS_FSDP,
+    AXIS_REPLICA,
+    AXIS_SEQ,
+    AXIS_TENSOR,
+    BATCH_AXES,
+    batch_sharding,
+    make_mesh,
+    mesh_from_config,
+    replicated,
+)
+from orbit2_tpu.parallel.sharding import (
+    param_shardings,
+    param_specs,
+    shard_params,
+    spec_for,
+)

@@ -1,0 +1,69 @@
+"""Device mesh construction.
+
+One mesh replaces the reference's six NCCL process groups (seq, data, tensor,
+data_seq_ort, fsdp, simple_ddp built by init_par_groups, reference
+examples/intermediate_downscaling.py:161-262). Axis mapping:
+
+  replica  — "simple_ddp": pure data parallelism, params replicated
+  fsdp     — parameter-sharded data parallelism (ZeRO-3 / HYBRID_SHARD inner)
+  tensor   — Megatron-style tensor parallelism
+  seq      — sequence (token) parallelism; the reference stubs this axis
+             (assert at intermediate_downscaling.py:165), here it is real.
+
+The rank layout matches the reference's arithmetic: tensor is the
+fastest-varying axis, then fsdp, then replica (HYBRID_SHARD shards within a
+node-group and replicates across, :610-613) — so ICI-heavy collectives
+(tensor, fsdp) ride the innermost mesh dims.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+AXIS_REPLICA = "replica"
+AXIS_FSDP = "fsdp"
+AXIS_TENSOR = "tensor"
+AXIS_SEQ = "seq"
+
+# activations: batch is sharded over both data axes
+BATCH_AXES = (AXIS_REPLICA, AXIS_FSDP)
+
+
+def make_mesh(
+    replica: int = 1,
+    fsdp: int = 1,
+    tensor: int = 1,
+    seq: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    want = replica * fsdp * tensor * seq
+    if want != len(devices):
+        raise ValueError(
+            f"mesh {replica}x{fsdp}x{tensor}x{seq}={want} != {len(devices)} devices"
+        )
+    arr = np.asarray(devices).reshape(replica, fsdp, seq, tensor)
+    return Mesh(arr, (AXIS_REPLICA, AXIS_FSDP, AXIS_SEQ, AXIS_TENSOR))
+
+
+def mesh_from_config(parallelism, devices=None) -> Mesh:
+    return make_mesh(
+        replica=parallelism.simple_ddp,
+        fsdp=parallelism.fsdp,
+        tensor=parallelism.tensor_par,
+        seq=parallelism.seq_par,
+        devices=devices,
+    )
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """[B, C, H, W] batches: B over (replica, fsdp)."""
+    return NamedSharding(mesh, P(BATCH_AXES))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

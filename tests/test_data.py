@@ -1,0 +1,188 @@
+"""Data layer tests: tiling round-trip, shard coverage, LogTransform
+semantics, collate shapes, data module protocol."""
+
+import numpy as np
+import pytest
+
+from orbit2_tpu.data import (
+    BatchLoader,
+    IterDataModule,
+    LogTransform,
+    Normalize,
+    NpyReader,
+    Downscale,
+    halo_lrtb,
+    tile_shapes,
+    tile_slices,
+)
+
+
+def test_halo_even_odd():
+    # even overlap: symmetric, lon = 2x lat (reference iterdataset.py:112-119)
+    assert halo_lrtb(4) == (4, 4, 2, 2)
+    # odd overlap: right/bottom take the extra
+    assert halo_lrtb(3) == (2, 4, 1, 2)
+    assert halo_lrtb(0) == (0, 0, 0, 0)
+
+
+@pytest.mark.parametrize("div,overlap", [(2, 2), (4, 3), (2, 0)])
+def test_tile_slices_cover_and_shape(div, overlap):
+    yinp, xinp, mag = 32, 64, 4
+    yout, xout = yinp * mag, xinp * mag
+    tiles = tile_slices(div, overlap, yinp, xinp, yout, xout)
+    assert len(tiles) == div * div
+    (hgt, wid), (out_h, out_w) = tile_shapes(div, overlap, yinp, xinp, yout, xout)
+    # every tile has the same shape (edge tiles borrow halo inward)
+    for t in tiles:
+        assert t.yi[1] - t.yi[0] == hgt
+        assert t.xi[1] - t.xi[0] == wid
+        assert t.yo[1] - t.yo[0] == out_h
+        assert t.xo[1] - t.xo[0] == out_w
+        assert 0 <= t.yi[0] and t.yi[1] <= yinp
+        assert 0 <= t.xi[0] and t.xi[1] <= xinp
+    # interior (non-halo) regions tile the full image exactly once
+    cover = np.zeros((yinp, xinp), dtype=int)
+    for t in tiles:
+        y0 = yinp // div * t.vindex
+        y1 = yinp // div * (t.vindex + 1)
+        x0 = xinp // div * t.hindex
+        x1 = xinp // div * (t.hindex + 1)
+        cover[y0:y1, x0:x1] += 1
+    assert (cover == 1).all()
+
+
+def test_tile_stitch_roundtrip():
+    """Cropping each tile's halo and stitching reproduces the original —
+    the invariant behind stitched inference (reference visualize.py:125-311)."""
+    div, overlap, mag = 2, 2, 2
+    yinp, xinp = 16, 32
+    yout, xout = yinp * mag, xinp * mag
+    rng = np.random.default_rng(0)
+    img = rng.normal(size=(yout, xout))
+    left, right, top, bottom = halo_lrtb(overlap)
+    stitched = np.zeros_like(img)
+    for t in tile_slices(div, overlap, yinp, xinp, yout, xout):
+        tile = img[t.yo[0]:t.yo[1], t.xo[0]:t.xo[1]]
+        # crop the halo back off in output pixels
+        ct = (0 if t.vindex == 0 else top * mag)
+        cb = tile.shape[0] - (0 if t.vindex == div - 1 else bottom * mag)
+        cl = (0 if t.hindex == 0 else left * mag)
+        cr = tile.shape[1] - (0 if t.hindex == div - 1 else right * mag)
+        core = tile[ct:cb, cl:cr]
+        y0 = yout // div * t.vindex
+        x0 = xout // div * t.hindex
+        # edge tiles borrow halo inward -> their core extends past the grid
+        # cell; align by the tile's absolute output origin + crop offset
+        stitched[t.yo[0] + ct : t.yo[0] + cb, t.xo[0] + cl : t.xo[0] + cr] = core
+    np.testing.assert_allclose(stitched, img)
+
+
+def test_log_transform_reference_semantics():
+    """m -> mm, <=0.25 mm/day -> 0, log1p (reference precipmodule.py:31-40)."""
+    lt = LogTransform()
+    x = np.array([0.0, 0.0002, 0.00025, 0.0003, 0.01], dtype=np.float32)  # meters
+    got = lt(x)
+    want = np.log1p(np.where(x * 1000 <= 0.25, 0.0, x * 1000))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    # inverse round-trips above threshold
+    np.testing.assert_allclose(lt.inverse(got[3:]), x[3:], rtol=1e-5)
+
+
+def test_normalize():
+    n = Normalize(np.array([280.0]), np.array([10.0]))
+    np.testing.assert_allclose(n(np.array([290.0])), [1.0])
+
+
+def _reader(ds, rank=0, size=1, div=1, overlap=0, shuffle=False):
+    import glob, os
+
+    inp = sorted(glob.glob(os.path.join(ds["low"], "train", "*.npz")))
+    out = sorted(glob.glob(os.path.join(ds["high"], "train", "*.npz")))
+    return NpyReader(inp, out, ds["in_vars"], ds["out_vars"],
+                     data_par_size=size, data_par_rank=rank,
+                     div=div, overlap=overlap, shuffle=shuffle)
+
+
+def test_reader_yields_expected_shapes(synth_dataset):
+    ds = synth_dataset
+    r = _reader(ds)
+    sample = next(iter(r))
+    inp, out, in_vars, out_vars = sample
+    assert set(in_vars) == set(ds["in_vars"])
+    assert inp[ds["in_vars"][0]].shape == (ds["T"], ds["H"], ds["W"])
+    assert out[ds["out_vars"][0]].shape == (ds["T"], ds["H"] * 4, ds["W"] * 4)
+
+
+def test_reader_sharding_disjoint_and_complete(synth_dataset):
+    """Shards across data-par ranks are disjoint and cover all files
+    (reference iterdataset.py:52-88, incl. wrap-around when files < shards)."""
+    ds = synth_dataset
+    seen = []
+    for rank in range(4):  # 4 ranks, 2 files -> wrap-around replication
+        r = _reader(ds, rank=rank, size=4)
+        files = [pair for pair in r._sharded_files()]
+        assert len(files) == 1
+        seen.extend(f[0] for f in files)
+    assert len(set(seen)) == 2  # both files covered
+
+
+def test_reader_tiling_sample_count(synth_dataset):
+    ds = synth_dataset
+    r = _reader(ds, div=2, overlap=2)
+    samples = list(iter(r))
+    assert len(samples) == 2 * 4  # 2 files x div^2 tiles
+    (hgt, wid), _ = tile_shapes(2, 2, ds["H"], ds["W"], ds["H"] * 4, ds["W"] * 4)
+    assert samples[0][0][ds["in_vars"][0]].shape == (ds["T"], hgt, wid)
+
+
+def test_itermodule_end_to_end(synth_dataset):
+    ds = synth_dataset
+    dm = IterDataModule(
+        "downscaling", ds["low"], ds["high"], ds["in_vars"], ds["out_vars"],
+        batch_size=4, buffer_size=8, subsample=1,
+    )
+    dm.setup()
+    in_size, out_size = dm.get_data_dims()
+    assert in_size == (4, len(ds["in_vars"]), ds["H"], ds["W"])
+    assert out_size == (4, len(ds["out_vars"]), ds["H"] * 4, ds["W"] * 4)
+
+    batch = next(iter(dm.train_dataloader()))
+    x, y, in_vars, out_vars = batch
+    assert x.shape == in_size
+    assert y.shape == out_size
+    assert x.dtype == np.float32
+    # normalization applied: temperature fields ~ N(0,1) after (x-280)/10
+    t_idx = in_vars.index("2m_temperature_min")
+    assert abs(float(x[:, t_idx].mean())) < 1.0
+    # precip is log1p(mm) >= 0
+    p_idx = in_vars.index("total_precipitation_24hr")
+    assert float(x[:, p_idx].min()) >= 0.0
+
+    lat, lon = dm.get_lat_lon()
+    assert len(lat) == ds["H"] * 4 and len(lon) == ds["W"] * 4
+    clim = dm.get_climatology("val")
+    assert set(clim.keys()) == set(ds["out_vars"])
+    assert clim[ds["out_vars"][0]].shape == (ds["H"] * 4, ds["W"] * 4)
+
+
+def test_batchloader_drop_last(synth_dataset):
+    ds = synth_dataset
+    dm = IterDataModule(
+        "downscaling", ds["low"], ds["high"], ds["in_vars"], ds["out_vars"],
+        batch_size=5, buffer_size=4, drop_last=True,
+    )
+    dm.setup()
+    sizes = [b[0].shape[0] for b in dm.train_dataloader()]
+    assert all(s == 5 for s in sizes)
+
+
+def test_forecasting_task_wrappers(synth_dataset):
+    ds = synth_dataset
+    dm = IterDataModule(
+        "direct-forecasting", ds["low"], ds["low"], ds["in_vars"], ds["out_vars"],
+        src="era5", history=2, window=1, pred_range=2, batch_size=3, buffer_size=4,
+    )
+    dm.setup()
+    x, y, in_vars, out_vars = next(iter(dm.train_dataloader()))
+    assert x.shape == (3, 2, len(ds["in_vars"]), ds["H"], ds["W"])
+    assert y.shape == (3, len(ds["out_vars"]), ds["H"], ds["W"])

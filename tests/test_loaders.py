@@ -1,0 +1,89 @@
+"""Public API tests (reference tests/loaders/test_model_module.py checks only
+the not-set-up error path; here the whole 7-tuple contract is exercised)."""
+
+import numpy as np
+import pytest
+
+import orbit2_tpu as cl
+from orbit2_tpu.data import IterDataModule
+from orbit2_tpu.metrics.metrics import Metric
+from orbit2_tpu.transforms.transforms import Denormalize
+
+
+@pytest.fixture
+def dm(synth_dataset):
+    ds = synth_dataset
+    m = IterDataModule(
+        "downscaling", ds["low"], ds["high"], ds["in_vars"], ds["out_vars"],
+        batch_size=2, buffer_size=4,
+    )
+    m.setup()
+    return m
+
+
+def test_load_downscaling_module_contract(dm, synth_dataset):
+    ds = synth_dataset
+    out = cl.load_downscaling_module(
+        data_module=dm, architecture="res_slimvit",
+        train_loss="bayesian_tv",
+        model_kwargs={
+            "default_vars": ds["in_vars"], "superres_mag": 4, "patch_size": 2,
+            "embed_dim": 32, "depth": 1, "decoder_depth": 1, "num_heads": 2,
+        },
+    )
+    (model, train_loss, val_losses, test_losses, train_t, val_t, test_t) = out
+    assert model.__class__.__name__ == "ResSlimViT"
+    assert isinstance(train_loss, Metric) and train_loss.aggregate_only
+    assert [l.name for l in val_losses] == ["rmse", "pearson", "mean_bias", "mse"]
+    assert [l.name for l in test_losses] == ["rmse", "pearson", "mean_bias"]
+    assert train_t is None
+    assert isinstance(val_t[0], Denormalize) and val_t[3] is None
+    assert len(test_t) == 3
+
+
+def test_denormalize_precip_identity(dm, synth_dataset):
+    """Precip channels get identity denormalize (reference denormalize.py:23-31)."""
+    import jax.numpy as jnp
+
+    d = Denormalize(dm)
+    x = jnp.ones((1, 3, 2, 2))
+    y = np.asarray(d(x))
+    out_vars = synth_dataset["out_vars"]
+    p = out_vars.index("total_precipitation_24hr")
+    t = out_vars.index("2m_temperature_min")
+    np.testing.assert_allclose(y[:, p], 1.0)           # identity
+    np.testing.assert_allclose(y[:, t], 1.0 * 10 + 280)  # un-normalized
+
+
+def test_load_loss_unknown_raises(dm):
+    with pytest.raises(NotImplementedError):
+        cl.load_loss(None, None, "not_a_loss", True, None)
+
+
+def test_load_optimizer_and_scheduler():
+    tx = cl.load_optimizer(None, "adamw", {"lr": 1e-3})
+    assert hasattr(tx, "init") and hasattr(tx, "update")
+    sched = cl.load_lr_scheduler(
+        "linear-warmup-cosine-annealing", None,
+        {"lr": 1e-3, "warmup_epochs": 1, "max_epochs": 4,
+         "warmup_start_lr": 1e-7, "eta_min": 1e-8},
+    )
+    assert sched(0) == pytest.approx(1e-7)
+
+
+def test_interpolation_architectures(dm, synth_dataset):
+    # interpolation requires in vars == out vars (reference loaders.py:325-330)
+    with pytest.raises(RuntimeError):
+        cl.load_architecture("downscaling", dm, "bilinear-interpolation")
+
+    ds = synth_dataset
+    dm2 = IterDataModule(
+        "downscaling", ds["low"], ds["high"], ds["out_vars"], ds["out_vars"],
+        batch_size=2, buffer_size=4,
+    )
+    dm2.setup()
+    m = cl.load_architecture("downscaling", dm2, "bilinear-interpolation")
+    import jax.numpy as jnp
+
+    x = jnp.ones((1, 3, 16, 32))
+    assert m(x).shape == (1, 3, 64, 128)

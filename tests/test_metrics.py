@@ -1,0 +1,136 @@
+"""Golden-value tests for the loss/metric zoo (SURVEY.md §4: the reference
+ships no numeric tests; every metric here is checked against an independent
+numpy computation)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from orbit2_tpu.metrics import functional as F
+from orbit2_tpu.metrics.metrics import MetricsMetaInfo
+from orbit2_tpu.registry import METRICS_REGISTRY
+import orbit2_tpu.metrics.metrics  # noqa: F401
+
+RNG = np.random.default_rng(42)
+B, C, H, W = 4, 3, 8, 10
+PRED = RNG.normal(size=(B, C, H, W)).astype(np.float32)
+TARGET = RNG.normal(size=(B, C, H, W)).astype(np.float32)
+VAR_NAMES = ["total_precipitation_24hr", "2m_temperature_min", "2m_temperature_max"]
+VAR_WEIGHTS = {"2m_temperature_min": 10.0, "2m_temperature_max": 10.0,
+               "total_precipitation_24hr": 1.0}
+LAT = np.linspace(-80, 80, H)
+
+
+def np_channel_weighted(err):
+    w = np.array([VAR_WEIGHTS[v] for v in VAR_NAMES], dtype=np.float32)
+    return err * w.reshape(1, -1, 1, 1)
+
+
+def test_mse_golden():
+    got = F.mse(jnp.asarray(PRED), jnp.asarray(TARGET), VAR_NAMES, VAR_WEIGHTS)
+    err = np_channel_weighted((PRED - TARGET) ** 2)
+    want_pc = err.mean(axis=(0, 2, 3))
+    want = np.concatenate([want_pc, [err.mean()]])
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5)
+
+
+def test_mse_aggregate_only_scalar():
+    got = F.mse(jnp.asarray(PRED), jnp.asarray(TARGET), aggregate_only=True)
+    np.testing.assert_allclose(float(got), ((PRED - TARGET) ** 2).mean(), rtol=1e-5)
+
+
+def test_bayesian_tv_golden():
+    """Independent recomputation of the TV prior with explicit zero-padding
+    (reference functional.py:117-167)."""
+    p = PRED
+    d1 = np.abs(p[:, :, 1:, :] - p[:, :, :-1, :])
+    d2 = np.abs(p[:, :, :, 1:] - p[:, :, :, :-1])
+    d3 = np.abs(p[:, :, 1:, 1:] - p[:, :, :-1, :-1])
+    d4 = np.abs(p[:, :, 1:, :-1] - p[:, :, :-1, 1:])
+    d1 = np.pad(d1, ((0, 0), (0, 0), (0, 1), (0, 0)))
+    d2 = np.pad(d2, ((0, 0), (0, 0), (0, 0), (0, 1)))
+    d3 = np.pad(d3, ((0, 0), (0, 0), (0, 1), (0, 1)))
+    d4 = np.pad(d4, ((0, 0), (0, 0), (0, 1), (1, 0)))
+    err = (PRED - TARGET) ** 2 + 0.02 * (d1 + d2 + 0.7 * d3 + 0.7 * d4)
+    err = np_channel_weighted(err)
+    want = np.concatenate([err.mean(axis=(0, 2, 3)), [err.mean()]])
+    got = F.bayesian_tv(jnp.asarray(PRED), jnp.asarray(TARGET), VAR_NAMES, VAR_WEIGHTS)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5)
+
+
+def test_rmse_golden():
+    err = (PRED - TARGET) ** 2
+    want_pc = np.sqrt(err.mean(axis=(2, 3))).mean(axis=0)
+    got = F.rmse(jnp.asarray(PRED), jnp.asarray(TARGET))
+    np.testing.assert_allclose(np.asarray(got)[:C], want_pc, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(got)[-1], want_pc.mean(), rtol=1e-5)
+
+
+def test_lat_weighted_mse():
+    lw = np.cos(np.deg2rad(LAT))
+    lw = (lw / lw.mean()).reshape(1, 1, H, 1)
+    err = (PRED - TARGET) ** 2 * lw
+    want = err.mean()
+    meta = MetricsMetaInfo([], VAR_NAMES, LAT, np.arange(W), np.zeros((C, H, W)))
+    metric = METRICS_REGISTRY["lat_mse"](aggregate_only=True, metainfo=meta)
+    got = metric(jnp.asarray(PRED), jnp.asarray(TARGET))
+    np.testing.assert_allclose(float(got), want, rtol=1e-5)
+
+
+def test_acc_golden():
+    clim = RNG.normal(size=(C, H, W)).astype(np.float32)
+    p = PRED - clim
+    t = TARGET - clim
+    accs = []
+    for i in range(C):
+        pp = p[:, i] - p[:, i].mean()
+        tp = t[:, i] - t[:, i].mean()
+        accs.append((pp * tp).sum() / np.sqrt((pp**2).sum() * (tp**2).sum()))
+    want = np.array(accs)
+    got = F.acc(jnp.asarray(PRED), jnp.asarray(TARGET), jnp.asarray(clim)[None],
+                lat_weights=jnp.ones((1, 1, 1, 1)))
+    np.testing.assert_allclose(np.asarray(got)[:C], want, rtol=1e-4)
+
+
+def test_pearson_matches_numpy_corrcoef():
+    got = F.pearson(jnp.asarray(PRED), jnp.asarray(TARGET))
+    for i in range(C):
+        want = np.corrcoef(PRED[:, i].ravel(), TARGET[:, i].ravel())[0, 1]
+        np.testing.assert_allclose(np.asarray(got)[i], want, rtol=1e-4)
+
+
+def test_mean_bias_golden():
+    got = F.mean_bias(jnp.asarray(PRED), jnp.asarray(TARGET))
+    want = TARGET.mean(axis=(0, 2, 3)) - PRED.mean(axis=(0, 2, 3))
+    np.testing.assert_allclose(np.asarray(got)[:C], want, rtol=1e-4, atol=1e-6)
+
+
+def test_image_gradient_scalar():
+    got = F.image_gradient(jnp.asarray(PRED), jnp.asarray(TARGET))
+    assert np.asarray(got).ndim == 0
+    assert float(got) > 0
+
+
+def test_quantile_pinball():
+    got = F.lat_weighted_quantile(jnp.asarray(PRED), jnp.asarray(TARGET))
+    assert float(got) > 0
+
+
+def test_registry_contains_reference_names():
+    # every name the reference registers (metrics.py:119-517) plus the
+    # climatebench trio the reference forgot to register (loaders.py:241)
+    for name in ["mse", "mae", "lat_mse", "rmse", "lat_rmse", "acc", "lat_acc",
+                 "pearson", "mean_bias", "bayesian_tv", "imagegradient",
+                 "perceptual", "lat_nrmses", "lat_nrmseg", "lat_nrmse"]:
+        assert name in METRICS_REGISTRY, name
+
+
+def test_metrics_work_under_jit():
+    import jax
+
+    @jax.jit
+    def f(p, t):
+        return F.bayesian_tv(p, t, VAR_NAMES, VAR_WEIGHTS, aggregate_only=True)
+
+    got = f(jnp.asarray(PRED), jnp.asarray(TARGET))
+    assert np.isfinite(float(got))
