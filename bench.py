@@ -83,19 +83,27 @@ def main():
     loss_metric = METRICS_REGISTRY["bayesian_tv"](aggregate_only=True)
     step = make_train_step(model, loss_metric, None, tx, DEFAULT_VARS, OUT_VARS)
 
+    def sync(loss, params):
+        # host readback forces the whole dependency chain to execute.
+        # NB: jax.block_until_ready is NOT sufficient on the axon TPU
+        # tunnel (returns immediately); a device->host copy is.
+        l = float(loss)
+        p = float(np.asarray(jax.tree.leaves(params)[0]).ravel()[0])
+        return l, p
+
     key = jax.random.PRNGKey(1)
     # warmup / compile
     for _ in range(3):
         key, sub = jax.random.split(key)
         params, opt_state, loss = step(params, opt_state, x, y, sub)
-    jax.block_until_ready(loss)
+    sync(loss, params)
 
     iters = 20 if on_tpu else 3
     t0 = time.perf_counter()
     for _ in range(iters):
         key, sub = jax.random.split(key)
         params, opt_state, loss = step(params, opt_state, x, y, sub)
-    jax.block_until_ready(loss)
+    sync(loss, params)
     dt = (time.perf_counter() - t0) / iters
 
     samples_per_sec = batch / dt

@@ -1,0 +1,63 @@
+#!/usr/bin/env python
+"""Stitched-inference visualization entry point (reference
+examples/visualize.py): load a checkpoint, run tile-stitched inference on a
+test sample, dump PNG/npy + PSNR/SSIM.
+
+Usage: python examples/visualize.py configs/inference.yaml [--index N]
+"""
+
+import argparse
+import logging
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    logging.basicConfig(level=logging.INFO)
+    p = argparse.ArgumentParser()
+    p.add_argument("config")
+    p.add_argument("--index", type=int, default=0)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--out-dir", default="visualizations")
+    args = p.parse_args()
+
+    from orbit2_tpu.config import load_config
+    from orbit2_tpu.training import checkpoint as ck
+    from orbit2_tpu.training.trainer import Trainer
+    from orbit2_tpu.utils.visualize import visualize_at_index
+
+    cfg = load_config(args.config)
+    trainer = Trainer(cfg)
+    data_key = next(iter(cfg.data.low_res_dir))
+    dm = trainer._make_data_module(data_key)
+    dm.setup()
+    trainer._build_model(dm, data_key)
+    model = trainer._phase_model(dm, data_key)
+    trainer.params = trainer._init_params(model, dm)
+
+    path = args.checkpoint or cfg.trainer.checkpoint or ck.latest_checkpoint(
+        trainer.checkpoint_dir)
+    if path:
+        state = ck.restore_checkpoint(path)
+        trainer.params = state["params"]
+        logging.info("loaded checkpoint %s (epoch %s)", path, state.get("epoch"))
+    else:
+        logging.warning("no checkpoint found — visualizing untrained weights")
+
+    in_vars, out_vars = dm.get_data_variables()
+    fwd = jax.jit(lambda x: model.apply(
+        {"params": trainer.params}, jnp.asarray(x), tuple(in_vars),
+        tuple(out_vars), deterministic=True))
+
+    res = visualize_at_index(
+        fwd, dm, index=args.index, div=cfg.tiling.effective_div,
+        overlap=cfg.tiling.effective_overlap, mag=cfg.model.superres_mag,
+        out_dir=args.out_dir,
+    )
+    for var, m in res["metrics"].items():
+        logging.info("%s: PSNR=%.2f SSIM=%.4f", var, m["psnr"], m["ssim"])
+
+
+if __name__ == "__main__":
+    main()

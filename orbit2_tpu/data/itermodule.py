@@ -226,6 +226,8 @@ class IterDataModule:
     def train_dataloader(self):
         if self.data_train is None:
             raise RuntimeError("You must call setup() before the data loaders")
+        if int(os.environ.get("ORBIT2_USE_SAMPLESTORE", "0")):
+            return self._samplestore_loader()
         return BatchLoader(
             self.data_train,
             batch_size=self.batch_size,
@@ -233,6 +235,40 @@ class IterDataModule:
             continuous=self.continuous,
             prefetch=max(2, self.num_workers),
         )
+
+    def _samplestore_loader(self):
+        """In-RAM native sample store path (the DDStore replacement, enabled
+        by ORBIT2_USE_SAMPLESTORE=1 like the reference's ORBIT_USE_DDSTORE,
+        itermodule.py:235): drain the train pipeline once, then serve
+        shuffled epochs with C++ multi-threaded batch gathers."""
+        if getattr(self, "_store_loader", None) is None:
+            from orbit2_tpu.native.store import SampleStore, StoreDataLoader
+
+            # unshuffled pipeline like the reference's DDStore branch
+            # (no ShuffleIterableDataset; the store shuffles by index)
+            fill_iter, _ = self._pipeline(
+                self.inp_lister_train, self.out_lister_train,
+                shuffle=False, seed_offset=0,
+            )
+            probe = next(iter(fill_iter))
+            x0 = np.stack([np.asarray(probe[0][k]) for k in probe[0]])
+            y0 = np.stack([np.asarray(probe[1][k]) for k in probe[1]])
+            store = SampleStore(x_shape=x0.shape, y_shape=y0.shape)
+            store._in_vars = list(probe[0].keys())
+            store._out_vars = list(probe[1].keys())
+            store.add(x0, y0)
+            fill_iter2, _ = self._pipeline(
+                self.inp_lister_train, self.out_lister_train,
+                shuffle=False, seed_offset=0,
+            )
+            it = iter(fill_iter2)
+            next(it)  # skip the probe sample already added
+            store.fill_from(it)
+            self._store_loader = StoreDataLoader(
+                store, batch_size=self.batch_size, seed=self.seed,
+                drop_last=self.drop_last,
+            )
+        return self._store_loader
 
     def val_dataloader(self):
         if self.data_val is None:

@@ -77,6 +77,12 @@ class ResSlimViT(nn.Module):
     spatial_resolution: float = 0.0
     attention_impl: str = "xla"
     remat: bool = False
+    # sequence parallelism: shard the token dim over the mesh's "seq" axis.
+    # The reference builds seq_par groups but asserts the feature off
+    # (intermediate_downscaling.py:165); here GSPMD constraints make it real:
+    # tokens stay sharded through LN/MLP/decoder, attention's q·k^T induces
+    # the all-gather of k/v over seq that Ulysses-style SP performs manually.
+    seq_shard: bool = False
     # base_img_size freezes pos_embed's param shape across dataset phases
     # (reference keeps the construction-time shape and resizes on the fly)
     base_img_size: Optional[Tuple[int, int]] = None
@@ -97,6 +103,23 @@ class ResSlimViT(nn.Module):
             in_channels=in_channels,
             base_img_size=self.base_img_size or self.img_size,
         )
+
+    def _seq_constraint(self, tokens):
+        """Pin [B, L, D] activations to (data-axes, seq, None) when sequence
+        parallelism is on. No-op when seq_shard is False."""
+        if not self.seq_shard:
+            return tokens
+        from jax.sharding import PartitionSpec as P
+        from orbit2_tpu.parallel.mesh import BATCH_AXES, AXIS_SEQ
+
+        try:
+            mesh = jax.sharding.get_abstract_mesh()
+            if mesh is None or AXIS_SEQ not in (mesh.axis_names or ()):
+                return tokens  # no seq-capable mesh in context (e.g. init)
+        except Exception:
+            return tokens
+        return jax.lax.with_sharding_constraint(
+            tokens, P(BATCH_AXES, AXIS_SEQ, None))
 
     def _pos_embed_init(self, key, shape, dtype):
         base = self.base_img_size or self.img_size
@@ -241,6 +264,7 @@ class ResSlimViT(nn.Module):
         block_cls = Block
         if self.remat:
             block_cls = nn.remat(Block, static_argnums=(2,))
+        tokens = self._seq_constraint(tokens)
         for i in range(self.depth):
             blk = block_cls(
                 dim=D, num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
@@ -248,7 +272,7 @@ class ResSlimViT(nn.Module):
                 drop_path=float(dpr[i]), attention_impl=self.attention_impl,
                 dtype=self.dtype, param_dtype=self.param_dtype, name=f"blocks_{i}",
             )
-            tokens = blk(tokens, deterministic)
+            tokens = self._seq_constraint(blk(tokens, deterministic))
         tokens = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype,
                               name="norm")(tokens)
         return tokens

@@ -65,6 +65,53 @@ def latest_checkpoint(directory: str, prefix: str = "epoch_") -> Optional[str]:
     return best
 
 
+def load_pretrained_params(params, pretrained, patch_size: int,
+                           img_size=None, strict: bool = False):
+    """Fine-tune import with the reference's filtering semantics
+    (intermediate_downscaling.py:116-153, era5_daymet_downscaling.py:56-81):
+      * keys absent from the target model are dropped
+      * shape-mismatched keys are dropped, EXCEPT pos_embed which is
+        bicubically resized to the target grid
+    Returns (merged_params, report dict of {used, dropped, resized}).
+    """
+    import jax.tree_util as jtu
+
+    from orbit2_tpu.ops.pos_embed import interpolate_pos_embed_checkpoint
+
+    flat_t, treedef = jtu.tree_flatten_with_path(params)
+    tgt = {tuple(str(getattr(k, "key", k)) for k in path): leaf
+           for path, leaf in flat_t}
+    flat_p, _ = jtu.tree_flatten_with_path(pretrained)
+    src = {tuple(str(getattr(k, "key", k)) for k in path): leaf
+           for path, leaf in flat_p}
+
+    used, dropped, resized = [], [], []
+    merged = dict(tgt)
+    for key, val in src.items():
+        if key not in tgt:
+            dropped.append(("missing", key))
+            continue
+        want = tgt[key].shape
+        if tuple(val.shape) == tuple(want):
+            merged[key] = np.asarray(val, dtype=tgt[key].dtype)
+            used.append(key)
+        elif key[-1] == "pos_embed" and img_size is not None:
+            merged[key] = np.asarray(
+                interpolate_pos_embed_checkpoint(np.asarray(val), patch_size,
+                                                 img_size),
+                dtype=tgt[key].dtype)
+            resized.append(key)
+        else:
+            dropped.append(("shape", key))
+            if strict:
+                raise ValueError(f"shape mismatch for {key}: {val.shape} vs {want}")
+
+    leaves = [merged[tuple(str(getattr(k, "key", k)) for k in path)]
+              for path, _ in flat_t]
+    out = jtu.tree_unflatten(treedef, leaves)
+    return out, {"used": used, "dropped": dropped, "resized": resized}
+
+
 # ---- PyTorch import (parity bridge) ----------------------------------------
 
 def _torch_linear(params_dst: dict, key_dst: str, sd: dict, key_src: str):

@@ -97,12 +97,17 @@ class Trainer:
         in_shape, _ = data_module.get_data_dims()
         _, in_h, in_w = in_shape[1:]
         in_vars, out_vars = data_module.get_data_variables()
-        return self.model.for_phase(
+        m = self.model.for_phase(
             spatial_resolution=c.data.spatial_resolution[data_key],
             img_size=(in_h, in_w),
             in_channels=len(in_vars),
             out_channels=len(out_vars),
         )
+        if c.parallelism.seq_par > 1 and hasattr(m, "seq_shard"):
+            import dataclasses
+
+            m = dataclasses.replace(m, seq_shard=True)
+        return m
 
     def _init_params(self, phase_model, data_module):
         """Initialize params directly sharded onto the mesh."""
@@ -165,7 +170,14 @@ class Trainer:
                 in_vars, out_vars = dm.get_data_variables()
 
                 if first_time:
-                    self.params = self._init_params(phase_model, dm)
+                    if self.params is None:
+                        self.params = self._init_params(phase_model, dm)
+                    else:
+                        # pre-seeded params (fine-tune import): place on mesh
+                        from orbit2_tpu.parallel.sharding import shard_params
+
+                        self.params = shard_params(
+                            jax.tree.map(jnp.asarray, self.params), self.mesh)
                     # optax state mirrors the param tree under mu/nu, so the
                     # same path rules produce its shardings; scalars (count,
                     # injected lr) fall through to replicated P()

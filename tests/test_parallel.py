@@ -123,3 +123,29 @@ def test_param_specs_cover_tree():
     # at least the attention/mlp kernels are tensor-sharded
     n_tensor = sum(1 for s in leaves_s if "tensor" in jax.tree.leaves(tuple(s)))
     assert n_tensor >= 4 * 2  # qkv+proj+fc1+fc2 per block x depth
+
+
+def test_seq_parallel_forward_matches_single_device():
+    """Sequence-parallel (seq axis) forward parity — the axis the reference
+    stubs out (intermediate_downscaling.py:165 assert)."""
+    import dataclasses
+
+    m = dataclasses.replace(tiny_model(), seq_shard=True)
+    m_ref = tiny_model()
+    params = _init(m_ref)
+    x = jnp.asarray(np.random.default_rng(2).normal(size=(8, 7, 16, 32)),
+                    dtype=jnp.float32)
+    y_ref = m_ref.apply({"params": params}, x, DEFAULT_VARS, OUT_VARS)
+
+    mesh = make_mesh(replica=1, fsdp=2, seq=2, tensor=2)
+    sharded = shard_params(params, mesh)
+    xs = jax.device_put(x, batch_sharding(mesh))
+
+    @jax.jit
+    def fwd(p, xb):
+        return m.apply({"params": p}, xb, DEFAULT_VARS, OUT_VARS)
+
+    with mesh:
+        y = fwd(sharded, xs)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               atol=2e-4, rtol=2e-4)
