@@ -16,6 +16,21 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def handles_probabilistic(metric):
+    """Unwrap probabilistic predictions to their mean (reference
+    metrics/utils.py:34-41 unwraps torch.distributions.Normal; here a
+    Normal is a (mean, std) tuple)."""
+    from functools import wraps
+
+    @wraps(metric)
+    def wrapper(pred, *args, **kwargs):
+        if isinstance(pred, tuple) and len(pred) == 2:
+            pred = pred[0]
+        return metric(pred, *args, **kwargs)
+
+    return wrapper
+
+
 def channel_weights(
     var_names: Optional[Sequence[str]],
     var_weights: Optional[Dict[str, float]],

@@ -84,7 +84,47 @@ def make_lr_scheduler(name: str, hyperparams: Dict[str, Any]):
             warmup_start_lr=float(hyperparams.get("warmup_start_lr", 0.0)),
             eta_min=float(hyperparams.get("eta_min", 0.0)),
         )
+    if name == "reduce-lr-on-plateau":
+        return ReduceLROnPlateau(
+            base_lr=float(hyperparams["lr"]),
+            factor=float(hyperparams.get("factor", 0.1)),
+            patience=int(hyperparams.get("patience", 10)),
+            min_lr=float(hyperparams.get("min_lr", 0.0)),
+        )
     raise NotImplementedError(f"lr scheduler {name} not supported")
+
+
+class ReduceLROnPlateau:
+    """Stateful metric-driven schedule (reference loaders.py:428-431 exposes
+    torch's ReduceLROnPlateau). Call `step(metric)` per epoch; reading it as
+    `schedule(epoch)` returns the current lr so the Trainer's epoch-based
+    protocol still works."""
+
+    def __init__(self, base_lr: float, factor: float = 0.1, patience: int = 10,
+                 min_lr: float = 0.0, mode: str = "min"):
+        self.lr = base_lr
+        self.factor = factor
+        self.patience = patience
+        self.min_lr = min_lr
+        self.mode = mode
+        self.best = None
+        self.bad_epochs = 0
+
+    def step(self, metric: float) -> float:
+        better = (self.best is None or
+                  (metric < self.best if self.mode == "min" else metric > self.best))
+        if better:
+            self.best = metric
+            self.bad_epochs = 0
+        else:
+            self.bad_epochs += 1
+            if self.bad_epochs > self.patience:
+                self.lr = max(self.min_lr, self.lr * self.factor)
+                self.bad_epochs = 0
+        return self.lr
+
+    def __call__(self, epoch: int) -> float:
+        return self.lr
 
 
 def set_learning_rate(opt_state, lr: float):

@@ -28,11 +28,14 @@ log = logging.getLogger("orbit2_tpu")
 
 class Trainer:
     def __init__(self, config: Config, mesh=None, checkpoint_dir: str = "checkpoints/climate",
-                 run_validation: bool = False):
+                 run_validation: bool = False, metrics_path: Optional[str] = None):
+        from orbit2_tpu.utils.logging import MetricsLogger
+
         self.cfg = config.validate()
         self.mesh = mesh if mesh is not None else mesh_from_config(config.parallelism)
         self.checkpoint_dir = checkpoint_dir
         self.run_validation = run_validation
+        self.metrics = MetricsLogger(metrics_path)
         self.model = None
         self.params = None
         self.opt_state = None
@@ -222,15 +225,14 @@ class Trainer:
                         epoch_loss += float(loss)
                         nbatches += 1
                     dt = time.perf_counter() - t0
-                    self.history.append({
+                    record = {
                         "epoch": epoch, "data_key": data_key,
                         "loss": epoch_loss / max(1, nbatches),
                         "batches": nbatches, "seconds": dt,
                         "lr": self.lr_schedule(epoch),
-                    })
-                    log.info("epoch %d [%s] loss=%.6f (%d batches, %.2fs)",
-                             epoch, data_key, epoch_loss / max(1, nbatches),
-                             nbatches, dt)
+                    }
+                    self.history.append(record)
+                    self.metrics.log("train_epoch", **record)
                     self._save(epoch)
 
                     if self.run_validation:

@@ -186,3 +186,39 @@ def test_forecasting_task_wrappers(synth_dataset):
     x, y, in_vars, out_vars = next(iter(dm.train_dataloader()))
     assert x.shape == (3, 2, len(ds["in_vars"]), ds["H"], ds["W"])
     assert y.shape == (3, len(ds["out_vars"]), ds["H"], ds["W"])
+
+
+def test_era5_to_prism_module(tmp_path):
+    """Single-variable map-style module (reference mapmodule.py:17-106):
+    per-split whole-array npz, scalar nan-aware normalization, (2,2,3,3)
+    target padding, validity mask."""
+    import numpy as np
+    from orbit2_tpu.data.mapmodule import ERA5toPRISMDataModule
+
+    rng = np.random.default_rng(0)
+    for root, shape in (("in", (10, 26, 59)), ("out", (10, 104, 236))):
+        d = tmp_path / root
+        d.mkdir()
+        for split in ("train", "val", "test"):
+            data = rng.normal(300, 8, size=shape).astype(np.float32)
+            np.savez(d / f"{split}.npz", data=data,
+                     mean=data.mean(0), std=data.std(0))
+        np.savez(d / "coords.npz",
+                 lat=np.linspace(24, 50, shape[1]).astype(np.float32),
+                 lon=np.linspace(235, 293, shape[2]).astype(np.float32))
+    np.save(tmp_path / "out" / "mask.npy",
+            rng.integers(0, 2, size=(104, 236)).astype(np.float32))
+
+    dm = ERA5toPRISMDataModule(str(tmp_path / "in"), str(tmp_path / "out"),
+                               batch_size=4)
+    dm.setup()
+    in_size, out_size = dm.get_data_dims()
+    assert in_size == (4, 1, 26, 59)
+    assert out_size == (4, 1, 110, 240)  # padded (3,3),(2,2)
+    x, y, in_vars, out_vars = next(iter(dm.train_dataloader()))
+    assert x.shape == in_size and y.shape == out_size
+    assert in_vars == ["daily_tmax"]
+    assert abs(float(x.mean())) < 0.3  # normalized
+    assert dm.get_out_mask().shape == (110, 240)
+    clim = dm.get_climatology("val")
+    assert clim["daily_tmax"].shape == (1, 104, 236)

@@ -1,0 +1,118 @@
+"""Utility subsystem tests: image metrics, profiler, structured logging,
+grad debug hooks, extreme-mask math, plateau scheduler, stitched inference."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from orbit2_tpu.utils.image_metrics import psnr, ssim
+from orbit2_tpu.utils.logging import MetricsLogger
+from orbit2_tpu.utils.profiler import ProfileTimer
+from orbit2_tpu.utils.visualize import rank_histogram, stitched_inference
+from orbit2_tpu.training.debug import grad_norms
+from orbit2_tpu.training.optim import ReduceLROnPlateau
+from orbit2_tpu.data.processing.era5_extreme import (
+    extreme_thresholds,
+    generate_extreme_masks,
+    smoothed_rolling_mean,
+)
+
+
+def test_psnr_identity_and_noise():
+    rng = np.random.default_rng(0)
+    img = rng.normal(size=(32, 32))
+    assert psnr(img, img) == float("inf")
+    noisy = img + 0.1 * rng.normal(size=img.shape)
+    p1 = psnr(noisy, img)
+    p2 = psnr(img + rng.normal(size=img.shape), img)
+    assert p1 > p2  # less noise -> higher PSNR
+
+
+def test_ssim_bounds():
+    rng = np.random.default_rng(1)
+    img = rng.normal(size=(32, 32))
+    assert ssim(img, img) == pytest.approx(1.0, abs=1e-6)
+    other = rng.normal(size=(32, 32))
+    assert ssim(other, img) < 0.3
+
+
+def test_profiler_spans():
+    t = ProfileTimer()
+    with t.span("work"):
+        sum(range(1000))
+    t.begin("more")
+    t.end("more")
+    s = t.summary()
+    assert s["work"]["count"] == 1
+    assert s["more"]["count"] == 1
+    assert s["work"]["total_s"] >= 0
+
+
+def test_metrics_logger_jsonl(tmp_path):
+    path = str(tmp_path / "metrics.jsonl")
+    m = MetricsLogger(path, echo=False)
+    m.log("train_epoch", epoch=0, loss=1.5)
+    m.log("val", epoch=0, rmse=0.3)
+    m.close()
+    lines = [json.loads(l) for l in open(path)]
+    assert lines[0]["event"] == "train_epoch" and lines[0]["loss"] == 1.5
+    assert lines[1]["rmse"] == 0.3
+
+
+def test_grad_norms_groups():
+    grads = {"blocks_0": {"w": jnp.ones((2, 2))}, "head": {"w": 2 * jnp.ones(4)}}
+    norms = grad_norms(grads)
+    assert norms["blocks_0"] == pytest.approx(2.0)
+    assert norms["head"] == pytest.approx(4.0)
+    assert norms["global"] == pytest.approx(np.sqrt(4 + 16))
+
+
+def test_reduce_lr_on_plateau():
+    s = ReduceLROnPlateau(base_lr=1.0, factor=0.5, patience=1)
+    assert s.step(1.0) == 1.0      # first -> best
+    assert s.step(0.9) == 1.0      # improved
+    assert s.step(0.95) == 1.0     # bad 1 (within patience)
+    assert s.step(0.95) == 0.5     # bad 2 -> reduce
+    assert s(99) == 0.5
+
+
+def test_extreme_mask_pipeline():
+    rng = np.random.default_rng(0)
+    t, h, w = 400, 6, 8
+    x = rng.normal(280, 5, size=(t, h, w))
+    g = smoothed_rolling_mean(x, time_horizon=24, window=1)
+    assert g.shape == (t - 24, h, w)
+    low, high = extreme_thresholds(g)
+    assert (low < high).all()
+    masks, low2, high2 = generate_extreme_masks(x, time_horizon=24)
+    frac = masks.mean()
+    assert 0.05 < frac < 0.2  # ~10% of samples flagged extreme
+
+
+def test_rank_histogram_uniform_for_calibrated():
+    rng = np.random.default_rng(0)
+    ens = rng.normal(size=(9, 1000))
+    obs = rng.normal(size=(1000,))
+    counts = rank_histogram(ens, obs)
+    assert counts.sum() == 1000
+    assert counts.shape == (10,)
+    # calibrated ensemble -> roughly flat histogram
+    assert counts.max() < 3 * counts.min() + 30
+
+
+def test_stitched_inference_identity_upsample():
+    """With an exact 2x nearest-upsample 'model', stitching reproduces the
+    upsampled field regardless of tiling."""
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 16, 32)).astype(np.float32)
+
+    def fake_forward(tile):  # [1, C, h, w] -> [1, C, 2h, 2w]
+        return np.repeat(np.repeat(tile, 2, axis=2), 2, axis=3)
+
+    full = fake_forward(x[None])[0]
+    stitched = stitched_inference(fake_forward, x, div=2, overlap=2, mag=2)
+    np.testing.assert_allclose(stitched, full)
