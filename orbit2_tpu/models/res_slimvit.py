@@ -77,6 +77,12 @@ class ResSlimViT(nn.Module):
     spatial_resolution: float = 0.0
     attention_impl: str = "xla"
     remat: bool = False
+    # 'full' recomputes everything in the backward (reference
+    # apply_activation_checkpointing semantics); 'dots' saves matmul outputs
+    # (jax.checkpoint_policies.checkpoint_dots) trading memory for less
+    # recompute — usually the better point on TPU where HBM, not FLOPs,
+    # limits batch size
+    remat_policy: str = "full"
     # sequence parallelism: shard the token dim over the mesh's "seq" axis.
     # The reference builds seq_par groups but asserts the feature off
     # (intermediate_downscaling.py:165); here GSPMD constraints make it real:
@@ -214,20 +220,23 @@ class ResSlimViT(nn.Module):
         patches = self._patchify(x).astype(self.dtype)  # [B, V, L, p*p]
         kern = token_kernel[var_ids].astype(self.dtype)  # [V, p*p, D]
         bias = token_bias[var_ids].astype(self.dtype)    # [V, D]
-        tokens = jnp.einsum("bvlp,vpd->bvld", patches, kern) + bias[None, :, None, :]
+        # produce tokens directly in [B, L, V, D] — the layout the variable
+        # aggregation wants — instead of [B, V, L, D] + a large transpose
+        # (the reference einsums bvld->blvd every step, res_slimvit.py:211)
+        tokens = jnp.einsum("bvlp,vpd->blvd", patches, kern) + bias[None, None, :, :]
 
         # variable embedding (reference :72, :260-262)
         var_embed = self.param(
             "var_embed", nn.initializers.zeros, (1, nvars, D), self.param_dtype
         )
-        tokens = tokens + var_embed[:, var_ids].astype(self.dtype)[:, :, None, :]
+        tokens = tokens + var_embed[:, var_ids].astype(self.dtype)[:, None, :, :]
 
         # variable aggregation (reference :205-230)
-        L = tokens.shape[2]
+        L = tokens.shape[1]
         var_query = self.param(
             "var_query", nn.initializers.zeros, (1, 1, D), self.param_dtype
         )
-        agg_in = tokens.transpose(0, 2, 1, 3).reshape(B * L, len(in_variables), D)
+        agg_in = tokens.reshape(B * L, len(in_variables), D)
         query = jnp.broadcast_to(var_query.astype(self.dtype), (B * L, 1, D))
         agg = VariableMappingAttention(
             dim=D, num_heads=self.num_heads, qkv_bias=False,
@@ -263,7 +272,10 @@ class ResSlimViT(nn.Module):
         dpr = np.linspace(0, self.drop_path, self.depth)
         block_cls = Block
         if self.remat:
-            block_cls = nn.remat(Block, static_argnums=(2,))
+            policy = None
+            if self.remat_policy == "dots":
+                policy = jax.checkpoint_policies.checkpoint_dots
+            block_cls = nn.remat(Block, static_argnums=(2,), policy=policy)
         tokens = self._seq_constraint(tokens)
         for i in range(self.depth):
             blk = block_cls(

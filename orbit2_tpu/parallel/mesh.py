@@ -42,11 +42,11 @@ def make_mesh(
 ) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
     want = replica * fsdp * tensor * seq
-    if want != len(devices):
+    if want > len(devices):
         raise ValueError(
-            f"mesh {replica}x{fsdp}x{tensor}x{seq}={want} != {len(devices)} devices"
+            f"mesh {replica}x{fsdp}x{tensor}x{seq}={want} > {len(devices)} devices"
         )
-    arr = np.asarray(devices).reshape(replica, fsdp, seq, tensor)
+    arr = np.asarray(devices[:want]).reshape(replica, fsdp, seq, tensor)
     return Mesh(arr, (AXIS_REPLICA, AXIS_FSDP, AXIS_SEQ, AXIS_TENSOR))
 
 

@@ -24,7 +24,17 @@ OUT_VARS = DEFAULT_VARS[4:]
 
 def run_case(name, *, drop=0.1, remat=True, attn="auto", dtype=jnp.bfloat16,
              embed=1024, depth=8, heads=16, batch=8, img=(64, 128), iters=10,
-             fwd_only=False):
+             fwd_only=False, rng_impl=None):
+    try:
+        _run_case(name, drop=drop, remat=remat, attn=attn, dtype=dtype,
+                  embed=embed, depth=depth, heads=heads, batch=batch, img=img,
+                  iters=iters, fwd_only=fwd_only, rng_impl=rng_impl)
+    except Exception as e:
+        print(f"{name:34s} FAILED: {type(e).__name__}: {str(e)[:120]}", flush=True)
+
+
+def _run_case(name, *, drop, remat, attn, dtype, embed, depth, heads, batch,
+              img, iters, fwd_only, rng_impl=None):
     model = ResSlimViT(
         default_vars=DEFAULT_VARS, img_size=img, in_channels=7, out_channels=3,
         superres_mag=4, patch_size=2, embed_dim=embed, depth=depth,
@@ -55,7 +65,8 @@ def run_case(name, *, drop=0.1, remat=True, attn="auto", dtype=jnp.bfloat16,
         loss_metric = METRICS_REGISTRY["bayesian_tv"](aggregate_only=True)
         step = make_train_step(model, loss_metric, None, tx, DEFAULT_VARS,
                                OUT_VARS)
-        key = jax.random.PRNGKey(1)
+        key = (jax.random.key(1, impl=rng_impl) if rng_impl
+               else jax.random.PRNGKey(1))
         for _ in range(2):
             key, sub = jax.random.split(key)
             params, opt_state, loss = step(params, opt_state, x, y, sub)
@@ -80,8 +91,8 @@ if __name__ == "__main__":
     print("device:", jax.devices()[0].device_kind, flush=True)
     run_case("base (remat, drop0.1, auto)")
     run_case("no dropout", drop=0.0)
-    run_case("no remat", remat=False)
-    run_case("no remat, no dropout", remat=False, drop=0.0)
+    run_case("rbg dropout rng", rng_impl="rbg")
+    run_case("no remat b4", remat=False, batch=4)
+    run_case("no remat, no dropout b4", remat=False, drop=0.0, batch=4)
     run_case("attn=xla", attn="xla")
     run_case("fwd only (deterministic)", fwd_only=True)
-    run_case("fp32", dtype=jnp.float32, iters=5)

@@ -134,3 +134,42 @@ def test_metrics_work_under_jit():
 
     got = f(jnp.asarray(PRED), jnp.asarray(TARGET))
     assert np.isfinite(float(got))
+
+
+def test_lpips_architecture(tmp_path, monkeypatch):
+    """LPIPS net with random weights in the real VGG16 layout: d(x,x)=0,
+    d(x,y)>0, and the perceptual metric (L1 + 0.5*LPIPS) composes
+    (reference functional.py:17-33)."""
+    rng = np.random.default_rng(0)
+    from orbit2_tpu.metrics.lpips import _VGG_PLAN, _TAPS
+
+    arrays = {}
+    for i, (cin, cout) in enumerate(_VGG_PLAN):
+        arrays[f"conv{i}_w"] = rng.normal(0, 0.05, (cout, cin, 3, 3)).astype(np.float32)
+        arrays[f"conv{i}_b"] = np.zeros(cout, np.float32)
+    taps_channels = [64, 128, 256, 512, 512]
+    for i, c in enumerate(taps_channels):
+        arrays[f"lin{i}_w"] = np.abs(rng.normal(0, 0.1, (c,))).astype(np.float32)
+    path = str(tmp_path / "lpips.npz")
+    np.savez(path, **arrays)
+
+    from orbit2_tpu.metrics.lpips import LPIPS
+
+    net = LPIPS(path)
+    x = jnp.asarray(rng.normal(size=(1, 3, 32, 32)), dtype=jnp.float32)
+    y = jnp.asarray(rng.normal(size=(1, 3, 32, 32)), dtype=jnp.float32)
+    d_same = float(net(x, x)[0])
+    d_diff = float(net(x, y)[0])
+    assert d_same == pytest.approx(0.0, abs=1e-5)
+    assert d_diff > 0
+
+    monkeypatch.setenv("ORBIT2_LPIPS_WEIGHTS", path)
+    metric = METRICS_REGISTRY["perceptual"](aggregate_only=True)
+    loss = float(metric(x, y))
+    assert loss > 0
+
+
+def test_lpips_missing_weights_raises(monkeypatch):
+    monkeypatch.delenv("ORBIT2_LPIPS_WEIGHTS", raising=False)
+    with pytest.raises(FileNotFoundError):
+        METRICS_REGISTRY["perceptual"](aggregate_only=True)

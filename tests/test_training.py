@@ -144,3 +144,64 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(got["params"]["w"]),
                                np.asarray(state["params"]["w"]))
     assert int(got["epoch"]) == 3
+
+
+def test_trainer_multiphase_curriculum(synth_dataset, tmp_path):
+    """Two dataset phases with different image sizes: the curriculum loop
+    must re-specialize (for_phase) per data_key while sharing params
+    (reference while-epochs/for-data_key loop, intermediate_downscaling.py:
+    499-501; data_config :629-630)."""
+    import numpy as np
+    from orbit2_tpu.config import load_config
+    from orbit2_tpu.training.trainer import Trainer
+
+    ds = synth_dataset
+    # second phase: same vars, different (smaller) grid
+    rng = np.random.default_rng(7)
+    root2 = tmp_path / "phase2"
+    H2, W2, T = 8, 16, 4
+    for base, h, w, vs in ((root2 / "low", H2, W2, ds["in_vars"]),
+                            (root2 / "high", H2 * 4, W2 * 4, ds["out_vars"])):
+        for split in ("train", "val", "test"):
+            d = base / split
+            d.mkdir(parents=True, exist_ok=True)
+            np.savez(d / "s0.npz",
+                     **{v: rng.normal(280, 10, (T, 1, h, w)).astype(np.float32)
+                        for v in vs})
+            np.savez(d / "climatology.npz",
+                     **{v: rng.normal(280, 1, (1, h, w)).astype(np.float32)
+                        for v in vs})
+        np.save(base / "lat.npy", np.linspace(-88, 88, h).astype(np.float32))
+        np.save(base / "lon.npy", np.linspace(0, 358, w).astype(np.float32))
+        np.savez(base / "normalize_mean.npz",
+                 **{v: np.array([280.0], np.float32) for v in vs})
+        np.savez(base / "normalize_std.npz",
+                 **{v: np.array([10.0], np.float32) for v in vs})
+
+    cfg = load_config({
+        "trainer": {"max_epochs": 2, "batch_size": 2, "buffer_size": 4,
+                     "data_type": "float32", "train_loss": "bayesian_tv",
+                     "remat": False, "interval_epochs": 1},
+        "parallelism": {"fsdp": 2, "simple_ddp": 1, "tensor_par": 1},
+        "model": {"preset": "res_slimvit", "lr": 1e-3, "warmup_epochs": 1,
+                   "embed_dim": 32, "depth": 1, "decoder_depth": 1,
+                   "num_heads": 2, "patch_size": 2, "drop_path": 0.0,
+                   "drop_rate": 0.0, "attention_impl": "xla"},
+        "data": {
+            "low_res_dir": {"ERA5": ds["low"], "PRISM": str(root2 / "low")},
+            "high_res_dir": {"ERA5": ds["high"], "PRISM": str(root2 / "high")},
+            "spatial_resolution": {"ERA5": 625, "PRISM": 18},
+            "default_vars": list(ds["in_vars"]),
+            "dict_in_variables": {"ERA5": list(ds["in_vars"]),
+                                    "PRISM": list(ds["in_vars"])},
+            "dict_out_variables": {"ERA5": list(ds["out_vars"]),
+                                     "PRISM": list(ds["out_vars"])},
+            "var_weights": {},
+        },
+    })
+    t = Trainer(cfg, checkpoint_dir=str(tmp_path / "ck"))
+    # two epochs -> phase rotation ERA5 (epoch 0) then PRISM (epoch 1)
+    hist = t.fit(max_epochs=2, max_steps_per_epoch=2)
+    keys = [h["data_key"] for h in hist]
+    assert keys == ["ERA5", "PRISM"]
+    assert all(np.isfinite(h["loss"]) for h in hist)
