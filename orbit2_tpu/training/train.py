@@ -17,22 +17,14 @@ One jit specialization per dataset phase replaces the reference's in-place
 
 from __future__ import annotations
 
-import functools
 import logging
-import time
-from dataclasses import dataclass, field
-from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
-from orbit2_tpu.config import Config
 from orbit2_tpu.data.processing.era5_constants import CONSTANTS
-from orbit2_tpu.parallel.mesh import batch_sharding, replicated
-from orbit2_tpu.parallel.sharding import param_shardings
-from orbit2_tpu.training.optim import set_learning_rate
 
 log = logging.getLogger("orbit2_tpu")
 

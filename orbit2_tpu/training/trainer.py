@@ -42,6 +42,7 @@ class Trainer:
         self.tx = None
         self.lr_schedule = None
         self.history: list = []
+        self._data_modules: Dict[str, Any] = {}
 
     # -- construction ---------------------------------------------------------
 
@@ -86,7 +87,7 @@ class Trainer:
             remat=c.trainer.remat,
         )
         (model, train_loss, val_losses, test_losses, _, val_transforms,
-         _) = load_downscaling_module(
+         test_transforms) = load_downscaling_module(
             data_module=data_module, architecture=c.model.preset,
             train_loss=c.trainer.train_loss, model_kwargs=model_kwargs,
         )
@@ -94,6 +95,8 @@ class Trainer:
         self.train_loss = train_loss
         self.val_losses = val_losses
         self.val_transforms = val_transforms
+        self.test_losses = test_losses
+        self.test_transforms = test_transforms
 
     def _phase_model(self, data_module, data_key: str):
         c = self.cfg
@@ -164,8 +167,14 @@ class Trainer:
 
         while epoch_start < max_epochs:
             for data_key in c.data.low_res_dir:
-                dm = self._make_data_module(data_key)
-                dm.setup()
+                # cache per phase: re-visiting a data_key must not re-glob /
+                # re-fill the sample store (the reference rebuilds the data
+                # module every visit, intermediate_downscaling.py:517)
+                dm = self._data_modules.get(data_key)
+                if dm is None:
+                    dm = self._make_data_module(data_key)
+                    dm.setup()
+                    self._data_modules[data_key] = dm
                 if first_time:
                     self._build_model(dm, data_key)
 
@@ -260,6 +269,40 @@ class Trainer:
             n += 1
         means = {k: v / max(1, n) for k, v in agg.items()}
         log.info("validation epoch %d: %s", epoch, means)
+        return means
+
+    def test(self, data_key: Optional[str] = None, max_batches: Optional[int] = None):
+        """Evaluate the test split with the test losses + denormalize
+        transforms (the reference's test stage, evaluate_func semantics)."""
+        c = self.cfg
+        data_key = data_key or next(iter(c.data.low_res_dir))
+        dm = self._make_data_module(data_key)
+        dm.setup("test")
+        if self.model is None:
+            self._build_model(dm, data_key)
+        phase_model = self._phase_model(dm, data_key)
+        in_vars, out_vars = dm.get_data_variables()
+        if self.params is None:
+            self.params = self._init_params(phase_model, dm)
+        eval_step = make_eval_step(phase_model, in_vars, out_vars, mesh=self.mesh)
+        agg: Dict[str, float] = {}
+        n = 0
+        for batch_idx, batch in enumerate(dm.test_dataloader()):
+            if max_batches is not None and batch_idx >= max_batches:
+                break
+            x, y = batch[0], batch[1]
+            if x.shape[0] != dm.batch_size:
+                continue
+            x, y = self._put_batch(x, y)
+            with self.mesh:
+                yhat = eval_step(self.params, x, y)
+            losses = evaluate_batch(yhat, y, "test", self.test_losses,
+                                    self.test_transforms, out_vars)
+            for k, v in losses.items():
+                agg[k] = agg.get(k, 0.0) + float(v)
+            n += 1
+        means = {k: v / max(1, n) for k, v in agg.items()}
+        self.metrics.log("test", data_key=data_key, batches=n, **means)
         return means
 
     def _save(self, epoch: int):

@@ -205,3 +205,15 @@ def test_trainer_multiphase_curriculum(synth_dataset, tmp_path):
     keys = [h["data_key"] for h in hist]
     assert keys == ["ERA5", "PRISM"]
     assert all(np.isfinite(h["loss"]) for h in hist)
+
+
+def test_trainer_test_split(tiny_config, tmp_path):
+    """Trainer.test(): test losses (rmse/pearson/mean_bias) with denormalize
+    transforms over the test split."""
+    from orbit2_tpu.training.trainer import Trainer
+
+    t = Trainer(tiny_config, checkpoint_dir=str(tmp_path / "ck"))
+    means = t.test(max_batches=2)
+    assert any(k.startswith("test/rmse") for k in means)
+    assert any(k.startswith("test/pearson") for k in means)
+    assert all(np.isfinite(v) for v in means.values())
