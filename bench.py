@@ -91,7 +91,7 @@ def main():
         p = float(np.asarray(jax.tree.leaves(params)[0]).ravel()[0])
         return l, p
 
-    key = jax.random.PRNGKey(1)
+    key = jax.random.key(1, impl="rbg")  # fast bulk dropout bits on TPU
     # warmup / compile
     for _ in range(3):
         key, sub = jax.random.split(key)

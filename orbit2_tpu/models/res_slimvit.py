@@ -237,12 +237,11 @@ class ResSlimViT(nn.Module):
             "var_query", nn.initializers.zeros, (1, 1, D), self.param_dtype
         )
         agg_in = tokens.reshape(B * L, len(in_variables), D)
-        query = jnp.broadcast_to(var_query.astype(self.dtype), (B * L, 1, D))
         agg = VariableMappingAttention(
             dim=D, num_heads=self.num_heads, qkv_bias=False,
             attention_impl=self.attention_impl, dtype=self.dtype,
             param_dtype=self.param_dtype, name="var_agg",
-        )(query, agg_in, deterministic)
+        )(var_query, agg_in, deterministic)
         tokens = agg.reshape(B, L, D)
 
         # position embedding, resized on the fly (reference :270)

@@ -52,8 +52,13 @@ def dot_product_attention(
     if impl == "pallas":
         from orbit2_tpu.ops.flash_attention import flash_attention, flash_supported
 
-        if dropout_rate == 0.0 and flash_supported(q, k, v):
-            return flash_attention(q, k, v, sm_scale=scale)
+        if flash_supported(q, k, v):
+            # attention-prob dropout runs INSIDE the kernel (TPU PRNG) — the
+            # XLA fallback would materialize [B,H,N,N] probs + u32 masks,
+            # which the ablations showed dominates the whole train step
+            return flash_attention(q, k, v, sm_scale=scale,
+                                   dropout_rate=dropout_rate,
+                                   dropout_rng=dropout_rng)
         impl = "xla"  # graceful fallback
 
     if impl in ("xla", "naive"):

@@ -6,19 +6,17 @@ bf16 at intermediate_downscaling.py:461-464). Non-causal, full attention —
 climate SR attends over the whole tile.
 
 Design (per pallas_guide.md):
-  * arrays reshaped to [B*H, N, D]; grid = (B*H, N // BLOCK_Q)
-  * each program holds one q block [BLOCK_Q, D] in VMEM and streams k/v in
-    BLOCK_K chunks via a fori_loop with a running (max, sum, acc) online
-    softmax — scores never hit HBM (the memory win over naive SDPA)
+  * arrays reshaped to [B*H, N, D]; 3D grid (B*H, N_q/BQ, N_k/BK) with the
+    k dimension innermost ("arbitrary" semantics) so k/v stream through VMEM
+    block by block while the online-softmax state (m, l, acc) lives in VMEM
+    scratch — N_k is unbounded by VMEM (full-globe ~260k tokens works)
   * bf16 inputs, fp32 accumulation (preferred_element_type), bf16 out
-  * backward = two kernels: dq over q blocks, dk/dv over k blocks, both
-    recomputing probabilities from the saved logsumexp (standard
-    flash-attention-2 recipe), wired up with jax.custom_vjp
-  * padding: the wrapper pads N up to a block multiple; masked lanes get
-    -inf scores (static masks — shapes are compile-time constants)
-
-For ~260k-token full-globe inference this kernel keeps only O(BLOCK_Q * N)
-VMEM live per program; the seq-parallel axis (M5) will shard N itself.
+  * logsumexp saved sublane-replicated (bh, 8, N_q) to satisfy TPU tiling
+  * backward = two kernels (flash-attention-2 recipe): dq streams k/v with a
+    (B*H, N_q/BQ, N_k/BK) grid; dk/dv streams q/do with a
+    (B*H, N_k/BK, N_q/BQ) grid, probabilities recomputed from the saved lse
+  * padding: the wrapper pads N up to block multiples; padded k/v columns are
+    masked to -inf (static masks), padded q rows are harmless (do == 0)
 """
 
 from __future__ import annotations
@@ -32,15 +30,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK_Q = 128
-DEFAULT_BLOCK_K = 128
+DEFAULT_BLOCK_Q = 256
+DEFAULT_BLOCK_K = 512
 _NEG_INF = -1e30
 
 
 def _interpret() -> bool:
     """Interpreter mode off-TPU so kernels are testable on the CPU mesh."""
     return jax.default_backend() != "tpu"
-
 
 
 def flash_supported(q, k, v) -> bool:
@@ -55,152 +52,205 @@ def flash_supported(q, k, v) -> bool:
     return n_q >= 128 and n_k >= 128
 
 
+def _mask_cols(s, kb, block_k, kv_len):
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    return jnp.where(col + kb * block_k < kv_len, s, _NEG_INF)
+
+
+def _dropout_mult(seed_ref, b, i, kb, shape, drop_rate):
+    """Reproducible per-(batch*head, q-block, k-block) dropout multiplier
+    mask/keep of `shape` == (BQ, BK). Seeded so forward and both backward
+    kernels regenerate the identical mask (fwd grid (b,i,kb); dkv grid maps
+    (b,j,qb) -> (b, i=qb, kb=j))."""
+    keep = 1.0 - drop_rate
+    pltpu.prng_seed(seed_ref[0] + b * 1000003 + i * 7919 + kb)
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    thresh = jnp.uint32(int(keep * 4294967295.0))
+    return jnp.where(bits <= thresh, 1.0 / keep, 0.0).astype(jnp.float32)
+
+
 # ---- forward ----------------------------------------------------------------
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, sm_scale, block_k, kv_len):
-    q = q_ref[0].astype(jnp.float32)  # [BQ, D]
-    block_q, d = q.shape
-    n_k_pad = k_ref.shape[1]
-    num_kb = n_k_pad // block_k
+def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref,
+                acc_ref, *, sm_scale, block_k, kv_len, drop_rate):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    kb = pl.program_id(2)
+    num_kb = pl.num_programs(2)
 
-    def body(kb, carry):
-        m_prev, l_prev, acc = carry
-        k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * sm_scale  # [BQ, BK]
-        # mask padded kv positions (static kv_len)
-        col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-        s = jnp.where(col + kb * block_k < kv_len, s, _NEG_INF)
+    @pl.when(kb == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
 
-        m_cur = jnp.max(s, axis=-1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m_prev - m_new)
-        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        return m_new, l_new, acc
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
 
-    m0 = jnp.full((block_q, 1), _NEG_INF, dtype=jnp.float32)
-    l0 = jnp.zeros((block_q, 1), dtype=jnp.float32)
-    acc0 = jnp.zeros((block_q, d), dtype=jnp.float32)
-    m, l, acc = jax.lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * sm_scale
+    s = _mask_cols(s, kb, block_k, kv_len)
 
-    o_ref[0] = (acc / l).astype(o_ref.dtype)
-    # lse stored sublane-replicated (8, block_q): TPU blocks need the
-    # second-to-last dim divisible by 8 (see pallas_guide tiling constraints)
-    lse_row = (m + jnp.log(l))[:, 0]
-    lse_ref[0] = jnp.broadcast_to(lse_row[None, :], (8, lse_row.shape[0]))
+    m_prev = m_ref[:]
+    l_prev = l_ref[:]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    m_ref[:] = m_new
+    l_ref[:] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    if drop_rate > 0.0:
+        # dropout after softmax (torch SDPA semantics): the normalizer l uses
+        # undropped p; only the value-accumulation path is masked
+        p = p * _dropout_mult(seed_ref, b, i, kb, p.shape, drop_rate)
+    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    @pl.when(kb == num_kb - 1)
+    def _():
+        l = l_ref[:]
+        o_ref[0] = (acc_ref[:] / l).astype(o_ref.dtype)
+        lse_row = (m_ref[:] + jnp.log(l))[:, 0]
+        # sublane-replicated (8, BQ): TPU blocks need second-to-last dim % 8
+        lse_ref[0] = jnp.broadcast_to(lse_row[None, :], (8, lse_row.shape[0]))
 
 
-def _flash_fwd(q, k, v, sm_scale, block_q, block_k, kv_len):
-    """q/k/v: [BH, N, D] (padded). kv_len = true (unpadded) kv length.
-    Returns (o, lse)."""
+def _flash_fwd(q, k, v, seed, sm_scale, block_q, block_k, kv_len, drop_rate):
+    """q/k/v: [BH, N, D] (padded). kv_len = true (unpadded) kv length."""
     bh, n_q, d = q.shape
     n_k = k.shape[1]
-    grid = (bh, n_q // block_q)
+    grid = (bh, n_q // block_q, n_k // block_k)
 
     o, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, sm_scale=sm_scale, block_k=block_k,
-                          kv_len=kv_len),
+                          kv_len=kv_len, drop_rate=drop_rate),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, block_q, d), lambda b, i, kb: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_k, d), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((1, block_k, d), lambda b, i, kb: (b, kb, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_k, d), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((1, block_k, d), lambda b, i, kb: (b, kb, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+            pl.BlockSpec((1, block_q, d), lambda b, i, kb: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, block_q), lambda b, i: (b, 0, i),
+            pl.BlockSpec((1, 8, block_q), lambda b, i, kb: (b, 0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bh, n_q, d), q.dtype),
             jax.ShapeDtypeStruct((bh, 8, n_q), jnp.float32),
         ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),   # running max
+            pltpu.VMEM((block_q, 1), jnp.float32),   # running sum
+            pltpu.VMEM((block_q, d), jnp.float32),   # output accumulator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
         cost_estimate=pl.CostEstimate(
             flops=4 * bh * n_q * n_k * d,
             bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
             transcendentals=bh * n_q * n_k,
         ),
         interpret=_interpret(),
-    )(q, k, v)
+    )(seed, q, k, v)
     return o, lse
 
 
 # ---- backward ---------------------------------------------------------------
 
-def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *,
-               sm_scale, block_k, kv_len):
+def _dq_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+               dq_ref, acc_ref, *, sm_scale, block_k, kv_len, drop_rate):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    kb = pl.program_id(2)
+    num_kb = pl.num_programs(2)
+
+    @pl.when(kb == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
     q = q_ref[0].astype(jnp.float32)
     do = do_ref[0].astype(jnp.float32)
     lse = lse_ref[0, 0, :][:, None]
     delta = delta_ref[0, 0, :][:, None]
-    block_q, d = q.shape
-    num_kb = k_ref.shape[1] // block_k
-
-    def body(kb, dq):
-        k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * sm_scale
-        col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-        s = jnp.where(col + kb * block_k < kv_len, s, _NEG_INF)
-        p = jnp.exp(s - lse)
-        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        ds = p * (dp - delta) * sm_scale
-        return dq + jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
-                                        preferred_element_type=jnp.float32)
-
-    dq = jax.lax.fori_loop(0, num_kb, body, jnp.zeros((block_q, d), jnp.float32))
-    dq_ref[0] = dq.astype(dq_ref.dtype)
-
-
-def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                dk_ref, dv_ref, *, sm_scale, block_q, q_len):
-    k = k_ref[0].astype(jnp.float32)  # [BK, D]
+    k = k_ref[0].astype(jnp.float32)
     v = v_ref[0].astype(jnp.float32)
-    block_k, d = k.shape
-    num_qb = q_ref.shape[1] // block_q
 
-    def body(qb, carry):
-        dk, dv = carry
-        q = q_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
-        do = do_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
-        lse = lse_ref[0, 0, pl.ds(qb * block_q, block_q)][:, None]
-        delta = delta_ref[0, 0, pl.ds(qb * block_q, block_q)][:, None]
-        # s_T: [BK, BQ]
-        s_t = jax.lax.dot_general(k, q, (((1,), (1,)), ((), ())),
-                                  preferred_element_type=jnp.float32) * sm_scale
-        row_q = jax.lax.broadcasted_iota(jnp.int32, (block_k, block_q), 1)
-        s_t = jnp.where(row_q + qb * block_q < q_len, s_t, _NEG_INF)
-        p_t = jnp.exp(s_t - lse.T)
-        dv = dv + jax.lax.dot_general(p_t, do, (((1,), (0,)), ((), ())),
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * sm_scale
+    s = _mask_cols(s, kb, block_k, kv_len)
+    p = jnp.exp(s - lse)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    if drop_rate > 0.0:
+        # dp flows through the dropout mask; delta = rowsum(do*o) already
+        # equals rowsum(p_dropped * dy), so the standard identity holds
+        dp = dp * _dropout_mult(seed_ref, b, i, kb, dp.shape, drop_rate)
+    ds = p * (dp - delta) * sm_scale
+    acc_ref[:] += jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32)
-        dp_t = jax.lax.dot_general(v, do, (((1,), (1,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
-        ds_t = p_t * (dp_t - delta.T) * sm_scale
-        dk = dk + jax.lax.dot_general(ds_t, q, (((1,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32)
-        return dk, dv
 
-    dk0 = jnp.zeros((block_k, d), jnp.float32)
-    dv0 = jnp.zeros((block_k, d), jnp.float32)
-    dk, dv = jax.lax.fori_loop(0, num_qb, body, (dk0, dv0))
-    dk_ref[0] = dk.astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
+    @pl.when(kb == num_kb - 1)
+    def _():
+        dq_ref[0] = acc_ref[:].astype(dq_ref.dtype)
 
 
-def _flash_bwd(sm_scale, block_q, block_k, kv_len, res, do):
-    q, k, v, o, lse = res
+def _dkv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                dk_ref, dv_ref, dk_acc, dv_acc, *, sm_scale, block_q, q_len,
+                drop_rate):
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    qb = pl.program_id(2)
+    num_qb = pl.num_programs(2)
+
+    @pl.when(qb == 0)
+    def _():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    q = q_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0, 0, :][:, None]
+    delta = delta_ref[0, 0, :][:, None]
+
+    # s_T: [BK, BQ]; padded q rows are harmless — their do is zero
+    s_t = jax.lax.dot_general(k, q, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32) * sm_scale
+    p_t = jnp.exp(s_t - lse.T)
+    if drop_rate > 0.0:
+        # regenerate the fwd mask for (q-block=qb, k-block=j), then transpose
+        mult_t = _dropout_mult(seed_ref, b, qb, j,
+                               (p_t.shape[1], p_t.shape[0]), drop_rate).T
+        y_t = p_t * mult_t
+    else:
+        y_t = p_t
+    dv_acc[:] += jax.lax.dot_general(y_t, do, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+    dp_t = jax.lax.dot_general(v, do, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    if drop_rate > 0.0:
+        dp_t = dp_t * mult_t
+    ds_t = p_t * (dp_t - delta.T) * sm_scale
+    dk_acc[:] += jax.lax.dot_general(ds_t, q, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+
+    @pl.when(qb == num_qb - 1)
+    def _():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _flash_bwd(sm_scale, block_q, block_k, kv_len, drop_rate, res, do):
+    q, k, v, seed, o, lse = res
     bh, n_q, d = q.shape
     n_k = k.shape[1]
     delta_row = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
@@ -208,58 +258,77 @@ def _flash_bwd(sm_scale, block_q, block_k, kv_len, res, do):
 
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, sm_scale=sm_scale, block_k=block_k,
-                          kv_len=kv_len),
-        grid=(bh, n_q // block_q),
+                          kv_len=kv_len, drop_rate=drop_rate),
+        grid=(bh, n_q // block_q, n_k // block_k),
         in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_k, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_k, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, block_q), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, block_q), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, block_q, d), lambda b, i, kb: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b, i, kb: (b, kb, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b, i, kb: (b, kb, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), lambda b, i, kb: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, block_q), lambda b, i, kb: (b, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, block_q), lambda b, i, kb: (b, 0, i), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, kb: (b, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
         interpret=_interpret(),
-    )(q, k, v, do, lse, delta)
+    )(seed, q, k, v, do, lse, delta)
 
     dk, dv = pl.pallas_call(
         functools.partial(_dkv_kernel, sm_scale=sm_scale, block_q=block_q,
-                          q_len=n_q),
-        grid=(bh, n_k // block_k),
+                          q_len=n_q, drop_rate=drop_rate),
+        grid=(bh, n_k // block_k, n_q // block_q),
         in_specs=[
-            pl.BlockSpec((1, n_q, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_q, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, n_q), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, n_q), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, block_q, d), lambda b, j, qb: (b, qb, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b, j, qb: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b, j, qb: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), lambda b, j, qb: (b, qb, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, block_q), lambda b, j, qb: (b, 0, qb), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, block_q), lambda b, j, qb: (b, 0, qb), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, block_k, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b, j, qb: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b, j, qb: (b, j, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct(k.shape, k.dtype),
             jax.ShapeDtypeStruct(v.shape, v.dtype),
         ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
         interpret=_interpret(),
-    )(q, k, v, do, lse, delta)
-    return dq, dk, dv
+    )(seed, q, k, v, do, lse, delta)
+    import numpy as _np
+
+    seed_ct = _np.zeros(seed.shape, dtype=jax.dtypes.float0)
+    return dq, dk, dv, seed_ct
 
 
 # ---- public wrapper ---------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _flash_core(q, k, v, sm_scale, block_q, block_k, kv_len):
-    o, _ = _flash_fwd(q, k, v, sm_scale, block_q, block_k, kv_len)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _flash_core(q, k, v, seed, sm_scale, block_q, block_k, kv_len, drop_rate):
+    o, _ = _flash_fwd(q, k, v, seed, sm_scale, block_q, block_k, kv_len,
+                      drop_rate)
     return o
 
 
-def _flash_core_fwd(q, k, v, sm_scale, block_q, block_k, kv_len):
-    o, lse = _flash_fwd(q, k, v, sm_scale, block_q, block_k, kv_len)
-    return o, (q, k, v, o, lse)
+def _flash_core_fwd(q, k, v, seed, sm_scale, block_q, block_k, kv_len,
+                    drop_rate):
+    o, lse = _flash_fwd(q, k, v, seed, sm_scale, block_q, block_k, kv_len,
+                        drop_rate)
+    return o, (q, k, v, seed, o, lse)
 
 
 _flash_core.defvjp(_flash_core_fwd, _flash_bwd)
@@ -276,11 +345,23 @@ def _pad_to(x, n, axis):
 
 def flash_attention(q, k, v, sm_scale: Optional[float] = None,
                     block_q: int = DEFAULT_BLOCK_Q,
-                    block_k: int = DEFAULT_BLOCK_K):
-    """q/k/v: [B, N, H, D] (BNHD like ops.attention); returns [B, N, H, D]."""
+                    block_k: int = DEFAULT_BLOCK_K,
+                    dropout_rate: float = 0.0,
+                    dropout_rng=None):
+    """q/k/v: [B, N, H, D] (BNHD like ops.attention); returns [B, N, H, D].
+
+    dropout_rate > 0 applies attention-probability dropout INSIDE the kernel
+    via the TPU PRNG (pltpu.prng_random_bits) — no [B,H,N,N] mask ever
+    materializes in HBM, unlike the XLA fallback. The mask is regenerated in
+    the backward kernels from the same (seed, block-index) pair."""
     b, n_q, h, d = q.shape
     n_k = k.shape[1]
     sm_scale = d**-0.5 if sm_scale is None else sm_scale
+    # blocks stay multiples of 128 (MXU/VPU lanes); shrink for short seqs
+    while block_q > 128 and block_q > n_q:
+        block_q //= 2
+    while block_k > 128 and block_k > n_k:
+        block_k //= 2
 
     def to_bhnd(x):
         return x.transpose(0, 2, 1, 3).reshape(b * h, x.shape[1], d)
@@ -292,6 +373,14 @@ def flash_attention(q, k, v, sm_scale: Optional[float] = None,
     kf = _pad_to(kf, n_k_pad, 1)
     vf = _pad_to(vf, n_k_pad, 1)
 
-    o = _flash_core(qf, kf, vf, sm_scale, block_q, block_k, n_k)
+    if dropout_rate > 0.0:
+        assert dropout_rng is not None, "dropout needs a PRNG key"
+        seed = jax.random.randint(dropout_rng, (1,), -2**31, 2**31 - 1,
+                                  dtype=jnp.int32)
+    else:
+        seed = jnp.zeros((1,), dtype=jnp.int32)
+
+    o = _flash_core(qf, kf, vf, seed, sm_scale, block_q, block_k, n_k,
+                    float(dropout_rate))
     o = o[:, :n_q].reshape(b, h, n_q, d).transpose(0, 2, 1, 3)
     return o

@@ -35,8 +35,10 @@ from orbit2_tpu.parallel.mesh import AXIS_FSDP, AXIS_TENSOR
 # (path regex, spec builder given ndim)
 _RULES: List[Tuple[str, Any]] = [
     # tensor-parallel column splits (output dim on tensor)
-    (r"(attn/qkv|mlp/fc1|var_agg/q|var_agg/kv)/kernel$", P(AXIS_FSDP, AXIS_TENSOR)),
-    (r"(attn/qkv|mlp/fc1|var_agg/q|var_agg/kv)/bias$", P(AXIS_TENSOR)),
+    (r"(attn/qkv|mlp/fc1)/kernel$", P(AXIS_FSDP, AXIS_TENSOR)),
+    (r"(attn/qkv|mlp/fc1)/bias$", P(AXIS_TENSOR)),
+    (r"var_agg/(q_kernel|kv_kernel)$", P(AXIS_FSDP, AXIS_TENSOR)),
+    (r"var_agg/(q_bias|kv_bias)$", P(AXIS_TENSOR)),
     # tensor-parallel row splits (input dim on tensor)
     (r"(attn/proj|mlp/fc2|var_agg/proj)/kernel$", P(AXIS_TENSOR, AXIS_FSDP)),
     # decoder head and misc dense layers: fsdp-shard the input dim

@@ -159,8 +159,14 @@ def import_torch_state_dict(sd: Dict[str, np.ndarray], depth: int,
     _torch_linear(p, "spatial_embed", sd, "spatial_embed")
 
     va = {}
-    _torch_linear(va, "q", sd, "var_agg.q")
-    _torch_linear(va, "kv", sd, "var_agg.kv")
+    # q/kv are raw kernels here (the algebraically-reduced var-agg keeps the
+    # reference's parameter shapes but not Dense submodules)
+    va["q_kernel"] = np.ascontiguousarray(sd["var_agg.q.weight"].T)
+    if "var_agg.q.bias" in sd:
+        va["q_bias"] = sd["var_agg.q.bias"]
+    va["kv_kernel"] = np.ascontiguousarray(sd["var_agg.kv.weight"].T)
+    if "var_agg.kv.bias" in sd:
+        va["kv_bias"] = sd["var_agg.kv.bias"]
     _torch_linear(va, "proj", sd, "var_agg.proj")
     p["var_agg"] = va
 

@@ -150,3 +150,36 @@ def test_persistence_baseline():
                     dtype=jnp.float32)
     y = Persistence(channels=(1, 3))(x)
     np.testing.assert_allclose(np.asarray(y), np.asarray(x)[:, [1, 3]])
+
+
+def test_varagg_reduction_matches_naive_cross_attention():
+    """The algebraically-reduced VariableMappingAttention must equal the
+    naive formulation (q/kv projections + softmax + value matmul) exactly —
+    same params, same math (reference attention.py:132-183 with N_a=1)."""
+    from orbit2_tpu.models.components.blocks import VariableMappingAttention
+
+    D, H, V, Bp = 32, 4, 7, 10
+    hd = D // H
+    m = VariableMappingAttention(dim=D, num_heads=H, qkv_bias=False,
+                                 attn_drop=0.0, proj_drop=0.0)
+    rng = np.random.default_rng(0)
+    var_query = jnp.asarray(rng.normal(size=(1, 1, D)), dtype=jnp.float32)
+    x = jnp.asarray(rng.normal(size=(Bp, V, D)), dtype=jnp.float32)
+    params = m.init({"params": jax.random.PRNGKey(0)}, var_query, x)["params"]
+    got = np.asarray(m.apply({"params": params}, var_query, x))
+
+    # naive reference math with the same parameters
+    qk = np.asarray(params["q_kernel"])
+    kvk = np.asarray(params["kv_kernel"])
+    pk = np.asarray(params["proj"]["kernel"])
+    pb = np.asarray(params["proj"]["bias"])
+    q = (np.asarray(var_query)[0, 0] @ qk).reshape(H, hd)
+    kv = np.asarray(x) @ kvk  # [Bp, V, 2D]
+    k = kv[..., :D].reshape(Bp, V, H, hd)
+    v = kv[..., D:].reshape(Bp, V, H, hd)
+    scores = np.einsum("hd,bvhd->bvh", q, k) * hd**-0.5
+    attn = np.exp(scores - scores.max(axis=1, keepdims=True))
+    attn = attn / attn.sum(axis=1, keepdims=True)
+    out = np.einsum("bvh,bvhd->bhd", attn, v).reshape(Bp, 1, D)
+    want = out @ pk + pb
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
