@@ -31,12 +31,14 @@ OUT_VARS = DEFAULT_VARS[4:]
 
 
 def timed(fn, *args, iters=10, label=""):
-    out = fn(*args)
-    _ = float(np.asarray(jax.tree.leaves(out)[0]).ravel()[0])  # sync
+    # reduce to a scalar in-graph: fetching full outputs through the axon
+    # tunnel costs ~10ms/MB and poisons the measurement
+    red = jax.jit(lambda *a: jnp.sum(jax.tree.leaves(fn(*a))[0].astype(jnp.float32)))
+    _ = float(red(*args))  # compile + sync
     t0 = time.perf_counter()
     for _i in range(iters):
-        out = fn(*args)
-    _ = float(np.asarray(jax.tree.leaves(out)[0]).ravel()[0])
+        out = red(*args)
+    _ = float(out)
     dt = (time.perf_counter() - t0) / iters
     print(f"  {label:42s} {dt*1e3:9.2f} ms", flush=True)
     return dt
