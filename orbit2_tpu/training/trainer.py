@@ -228,7 +228,10 @@ class Trainer:
                     for batch_idx, batch in enumerate(dm.train_dataloader()):
                         if max_steps_per_epoch and batch_idx >= max_steps_per_epoch:
                             break
-                        x, y, bin_vars, bout_vars = batch[:4]
+                        if len(batch) == 5:  # extreme-mask collate branch
+                            x, y, _mask, bin_vars, bout_vars = batch
+                        else:
+                            x, y, bin_vars, bout_vars = batch
                         x, y = self._put_batch(x, y)
                         rng, step_rng = jax.random.split(rng)
                         with self.mesh:
