@@ -46,8 +46,21 @@ def peak_tflops() -> float:
     return 197.0
 
 
+def _backend_with_retry(attempts: int = 4, delay: float = 45.0) -> str:
+    """The axon TPU plugin's claim can transiently fail if another process
+    held the chip recently; retry before giving up to CPU."""
+    for i in range(attempts):
+        try:
+            return jax.default_backend()
+        except RuntimeError:
+            if i == attempts - 1:
+                raise
+            time.sleep(delay)
+    return "cpu"
+
+
 def main():
-    on_tpu = jax.default_backend() == "tpu"
+    on_tpu = _backend_with_retry() == "tpu"
     # 117M-scale trunk; tile-sized input 64x128 -> 2048 tokens at patch 2
     if on_tpu:
         embed, depth, heads, batch, img = 1024, 8, 16, 8, (64, 128)

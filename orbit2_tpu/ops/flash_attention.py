@@ -31,7 +31,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_BLOCK_Q = 256
-DEFAULT_BLOCK_K = 512
+DEFAULT_BLOCK_K = 2048  # swept on v5e: bk=2048 38 TFLOPS vs bk=512 23 (docs/performance.md)
 _NEG_INF = -1e30
 
 
