@@ -78,7 +78,7 @@ def main():
         default_vars=DEFAULT_VARS, img_size=img, in_channels=7, out_channels=3,
         superres_mag=4, patch_size=2, embed_dim=embed, depth=depth,
         decoder_depth=2, num_heads=heads, learn_pos_emb=True,
-        spatial_resolution=111.0, attention_impl="auto", remat=True,
+        spatial_resolution=111.0, attention_impl="auto", remat=False,
         dtype=dtype, drop_rate=0.1, drop_path=0.1,
     )
     rng = np.random.default_rng(0)
