@@ -33,6 +33,9 @@ from jax.experimental.pallas import tpu as pltpu
 DEFAULT_BLOCK_Q = 256
 DEFAULT_BLOCK_K = 2048  # swept on v5e: bk=2048 38 TFLOPS vs bk=512 23 (docs/performance.md)
 _NEG_INF = -1e30
+# softmax runs in base 2 (exp2/log2): cheaper than e-base exp on the VPU.
+# The saved "lse" is base-2 (m2 + log2(l)); only these kernels consume it.
+_LOG2E = 1.4426950408889634
 
 
 def _interpret() -> bool:
@@ -89,15 +92,15 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref,
     v = v_ref[0].astype(jnp.float32)
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * sm_scale
+                            preferred_element_type=jnp.float32) * (sm_scale * _LOG2E)
     s = _mask_cols(s, kb, block_k, kv_len)
 
     m_prev = m_ref[:]
     l_prev = l_ref[:]
     m_cur = jnp.max(s, axis=-1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
-    p = jnp.exp(s - m_new)
-    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp2(s - m_new)
+    alpha = jnp.exp2(m_prev - m_new)
     m_ref[:] = m_new
     l_ref[:] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
     if drop_rate > 0.0:
@@ -111,7 +114,7 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref,
     def _():
         l = l_ref[:]
         o_ref[0] = (acc_ref[:] / l).astype(o_ref.dtype)
-        lse_row = (m_ref[:] + jnp.log(l))[:, 0]
+        lse_row = (m_ref[:] + jnp.log2(l))[:, 0]  # base-2 lse
         # sublane-replicated (8, BQ): TPU blocks need second-to-last dim % 8
         lse_ref[0] = jnp.broadcast_to(lse_row[None, :], (8, lse_row.shape[0]))
 
@@ -184,9 +187,9 @@ def _dq_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     v = v_ref[0].astype(jnp.float32)
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * sm_scale
+                            preferred_element_type=jnp.float32) * (sm_scale * _LOG2E)
     s = _mask_cols(s, kb, block_k, kv_len)
-    p = jnp.exp(s - lse)
+    p = jnp.exp2(s - lse)
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
     if drop_rate > 0.0:
@@ -224,8 +227,8 @@ def _dkv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
     # s_T: [BK, BQ]; padded q rows are harmless — their do is zero
     s_t = jax.lax.dot_general(k, q, (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32) * sm_scale
-    p_t = jnp.exp(s_t - lse.T)
+                              preferred_element_type=jnp.float32) * (sm_scale * _LOG2E)
+    p_t = jnp.exp2(s_t - lse.T)
     if drop_rate > 0.0:
         # regenerate the fwd mask for (q-block=qb, k-block=j), then transpose
         mult_t = _dropout_mult(seed_ref, b, qb, j,

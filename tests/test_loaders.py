@@ -87,3 +87,33 @@ def test_interpolation_architectures(dm, synth_dataset):
 
     x = jnp.ones((1, 3, 16, 32))
     assert m(x).shape == (1, 3, 64, 128)
+
+
+def test_forecasting_architectures(synth_dataset):
+    """Forecasting branch of load_architecture (reference loaders.py:270-331):
+    persistence/climatology/linear-regression/rasp-theurey-2020."""
+    import jax
+    import jax.numpy as jnp
+    from orbit2_tpu.data import IterDataModule
+
+    ds = synth_dataset
+    dm = IterDataModule(
+        "direct-forecasting", ds["low"], ds["low"], ds["in_vars"], ds["out_vars"],
+        src="era5", history=2, window=1, pred_range=2, batch_size=2, buffer_size=4,
+    )
+    dm.setup()
+
+    m = cl.load_architecture("forecasting", dm, "persistence")
+    x = jnp.ones((2, 2, len(ds["in_vars"]), ds["H"], ds["W"]))
+    assert m(x).shape == (2, len(ds["out_vars"]), ds["H"], ds["W"])
+
+    m = cl.load_architecture("forecasting", dm, "climatology")
+    assert m(x).shape[0] == 2
+
+    m = cl.load_architecture("forecasting", dm, "rasp-theurey-2020")
+    v = m.init({"params": jax.random.PRNGKey(0)}, x)
+    y = m.apply(v, x)
+    assert y.shape == (2, len(ds["out_vars"]), ds["H"], ds["W"])
+
+    with pytest.raises(NotImplementedError):
+        cl.load_architecture("forecasting", dm, "nope")
