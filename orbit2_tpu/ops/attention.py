@@ -53,6 +53,17 @@ def dot_product_attention(
         from orbit2_tpu.ops.flash_attention import flash_attention, flash_supported
 
         if flash_supported(q, k, v):
+            from orbit2_tpu.ops.seq_attention import (
+                seq_flash_attention,
+                seq_mesh_active,
+            )
+
+            if seq_mesh_active():
+                # GSPMD can't partition a pallas_call over the seq axis;
+                # shard_map keeps q token-sharded and all-gathers k/v
+                return seq_flash_attention(q, k, v, sm_scale=scale,
+                                           dropout_rate=dropout_rate,
+                                           dropout_rng=dropout_rng)
             # attention-prob dropout runs INSIDE the kernel (TPU PRNG) — the
             # XLA fallback would materialize [B,H,N,N] probs + u32 masks,
             # which the ablations showed dominates the whole train step

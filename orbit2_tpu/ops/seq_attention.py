@@ -1,0 +1,68 @@
+"""Sequence-parallel attention: Pallas flash kernel under shard_map.
+
+The GSPMD seq path (token-sharding constraints in the model) works with the
+XLA einsum attention but cannot partition a pallas_call — GSPMD would gather
+the full sequence onto every device before the kernel. This wrapper keeps
+the flash kernel AND the seq axis: q stays token-sharded, k/v are
+all-gathered over the `seq` ICI ring (DeepSpeed-Ulysses-style KV-gather SP),
+each device runs the kernel on its local q block against the full k/v, and
+shard_map's autodiff turns the gather into the matching reduce-scatter for
+dk/dv.
+
+Memory per device: O(N_local * N_full) scores never materialize (flash), and
+k/v are the only gathered tensors — 2 * N * H * D * 2 bytes, e.g. 4.3 GB for
+the full-globe 260k-token case at D=1024 split over 8 seq shards.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from orbit2_tpu.parallel.mesh import AXIS_SEQ, BATCH_AXES
+from orbit2_tpu.ops.flash_attention import flash_attention
+
+
+def seq_mesh_active() -> bool:
+    """True when the traced context has a mesh with a non-trivial seq axis."""
+    try:
+        mesh = jax.sharding.get_abstract_mesh()
+        return (mesh is not None and AXIS_SEQ in (mesh.axis_names or ())
+                and mesh.shape[AXIS_SEQ] > 1)
+    except Exception:
+        return False
+
+
+def seq_flash_attention(q, k, v, sm_scale: Optional[float] = None,
+                        dropout_rate: float = 0.0, dropout_rng=None):
+    """q/k/v: [B, N, H, D] logically token-sharded over the seq axis.
+    Must be called inside a mesh context whose seq axis size divides N."""
+    try:
+        from jax import shard_map  # jax >= 0.6
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+
+    from orbit2_tpu.parallel.mesh import AXIS_TENSOR
+
+    mesh = jax.sharding.get_abstract_mesh()
+    # heads ride the tensor axis (Megatron head split) when divisible
+    tp = mesh.shape.get(AXIS_TENSOR, 1)
+    head_axis = AXIS_TENSOR if (tp > 1 and q.shape[2] % tp == 0) else None
+    spec = P(BATCH_AXES, AXIS_SEQ, head_axis, None)
+
+    # check_vma=False: the pallas_call's ShapeDtypeStruct outputs carry no
+    # varying-mesh-axes annotation (jax 0.9 vma checking)
+    @functools.partial(shard_map, mesh=mesh, in_specs=(spec, spec, spec),
+                       out_specs=spec, check_vma=False)
+    def inner(qb, kb, vb):
+        k_full = jax.lax.all_gather(kb, AXIS_SEQ, axis=1, tiled=True)
+        v_full = jax.lax.all_gather(vb, AXIS_SEQ, axis=1, tiled=True)
+        return flash_attention(qb, k_full, v_full, sm_scale=sm_scale,
+                               dropout_rate=dropout_rate,
+                               dropout_rng=dropout_rng)
+
+    return inner(q, k, v)

@@ -149,3 +149,45 @@ def test_seq_parallel_forward_matches_single_device():
         y = fwd(sharded, xs)
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
                                atol=2e-4, rtol=2e-4)
+
+
+def test_seq_flash_attention_matches_unsharded():
+    """shard_map flash attention with KV all-gather over the seq axis must
+    equal the plain kernel (and the reference SDPA math)."""
+    from orbit2_tpu.ops.seq_attention import seq_flash_attention
+    from orbit2_tpu.ops.flash_attention import flash_attention
+    from orbit2_tpu.parallel.mesh import batch_sharding
+
+    B, N, H, D = 4, 256, 2, 32
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(B, N, H, D)), dtype=jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, N, H, D)), dtype=jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, N, H, D)), dtype=jnp.float32)
+
+    want = np.asarray(flash_attention(q, k, v))
+
+    mesh = make_mesh(replica=1, fsdp=2, seq=2, tensor=2)
+    with jax.set_mesh(mesh):
+        got = jax.jit(lambda a, b, c: seq_flash_attention(a, b, c))(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5, rtol=2e-5)
+
+
+def test_seq_flash_attention_grads_match():
+    from orbit2_tpu.ops.seq_attention import seq_flash_attention
+    from orbit2_tpu.ops.flash_attention import flash_attention
+
+    B, N, H, D = 2, 256, 2, 32
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.normal(size=(B, N, H, D)), dtype=jnp.float32)
+
+    def loss_ref(a):
+        return jnp.sum(flash_attention(a, a, a) ** 2)
+
+    g_ref = np.asarray(jax.grad(loss_ref)(q))
+
+    mesh = make_mesh(replica=1, fsdp=1, seq=4, tensor=2)
+    with jax.set_mesh(mesh):
+        def loss_sp(a):
+            return jnp.sum(seq_flash_attention(a, a, a) ** 2)
+        g = jax.jit(jax.grad(loss_sp))(q)
+    np.testing.assert_allclose(np.asarray(g), g_ref, atol=5e-4, rtol=5e-4)
