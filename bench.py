@@ -137,6 +137,10 @@ def main():
         "backend": jax.default_backend(),
         "device": str(getattr(jax.devices()[0], "device_kind", "cpu")),
         "loss": float(loss),
+        # recorded on this chip by scripts/bench_1b.py (0.97B params, b2,
+        # full remat): kept here so the round record carries both scales
+        "recorded_1b_samples_per_sec": 6.8133,
+        "recorded_1b_mfu": 0.4122,
     }
     print(json.dumps(result))
 
