@@ -66,10 +66,27 @@ class Trainer:
             seed=c.trainer.seed,
         )
 
+    def _check_tiling(self, data_module):
+        """Tile dims must divide by patch_size (reference aborts with an
+        increase-the-overlap instruction, intermediate_downscaling.py:535-543)."""
+        c = self.cfg
+        if c.tiling.effective_div <= 1:
+            return
+        in_shape, _ = data_module.get_data_dims()
+        _, h, w = in_shape[1:]
+        p = c.model.patch_size
+        if h % p or w % p:
+            raise ValueError(
+                f"tile shape ({h}, {w}) is not divisible by patch_size {p}; "
+                f"increase tiling.overlap by {h % p or w % p} "
+                "(see reference TILES divisibility rule)"
+            )
+
     def _build_model(self, data_module, data_key: str):
         from orbit2_tpu.utils.loaders import load_downscaling_module  # circular-safe
 
         c = self.cfg
+        self._check_tiling(data_module)
         model_kwargs = dict(
             default_vars=c.data.default_vars,
             superres_mag=c.model.superres_mag,

@@ -217,3 +217,61 @@ def test_trainer_test_split(tiny_config, tmp_path):
     assert any(k.startswith("test/rmse") for k in means)
     assert any(k.startswith("test/pearson") for k in means)
     assert all(np.isfinite(v) for v in means.values())
+
+
+def test_trainer_with_tiling(synth_dataset, tmp_path):
+    """Training over div x div halo tiles: shapes from tile_shapes, training
+    step compiles and runs (the TILES path, reference iterdataset.py:90-177)."""
+    from orbit2_tpu.config import load_config
+    from orbit2_tpu.training.trainer import Trainer
+
+    ds = synth_dataset
+    cfg = load_config({
+        "trainer": {"max_epochs": 1, "batch_size": 2, "buffer_size": 4,
+                     "data_type": "float32", "train_loss": "bayesian_tv",
+                     "remat": False},
+        "parallelism": {"fsdp": 2},
+        "tiling": {"do_tiling": True, "div": 2, "overlap": 2},
+        "model": {"preset": "res_slimvit", "lr": 1e-3, "warmup_epochs": 1,
+                   "embed_dim": 32, "depth": 1, "decoder_depth": 1,
+                   "num_heads": 2, "patch_size": 2, "drop_path": 0.0,
+                   "drop_rate": 0.0, "attention_impl": "xla"},
+        "data": {
+            "low_res_dir": {"S": ds["low"]}, "high_res_dir": {"S": ds["high"]},
+            "spatial_resolution": {"S": 625},
+            "default_vars": list(ds["in_vars"]),
+            "dict_in_variables": {"S": list(ds["in_vars"])},
+            "dict_out_variables": {"S": list(ds["out_vars"])},
+            "var_weights": {},
+        },
+    })
+    t = Trainer(cfg, checkpoint_dir=str(tmp_path / "ck"))
+    hist = t.fit(max_epochs=1, max_steps_per_epoch=2)
+    assert hist and np.isfinite(hist[0]["loss"])
+
+
+def test_trainer_tiling_divisibility_error(synth_dataset, tmp_path):
+    """Non-patch-divisible tile shapes abort with the increase-overlap
+    instruction (reference intermediate_downscaling.py:535-543)."""
+    from orbit2_tpu.config import load_config
+    from orbit2_tpu.training.trainer import Trainer
+
+    ds = synth_dataset
+    cfg = load_config({
+        "trainer": {"max_epochs": 1, "batch_size": 2, "data_type": "float32"},
+        "parallelism": {"fsdp": 1},
+        "tiling": {"do_tiling": True, "div": 2, "overlap": 1},  # h: 8+3=11
+        "model": {"preset": "res_slimvit", "embed_dim": 32, "depth": 1,
+                   "num_heads": 2, "patch_size": 2, "drop_rate": 0.0,
+                   "drop_path": 0.0},
+        "data": {
+            "low_res_dir": {"S": ds["low"]}, "high_res_dir": {"S": ds["high"]},
+            "spatial_resolution": {"S": 625},
+            "default_vars": list(ds["in_vars"]),
+            "dict_in_variables": {"S": list(ds["in_vars"])},
+            "dict_out_variables": {"S": list(ds["out_vars"])},
+        },
+    })
+    t = Trainer(cfg, checkpoint_dir=str(tmp_path / "ck"))
+    with pytest.raises(ValueError, match="overlap"):
+        t.fit(max_epochs=1, max_steps_per_epoch=1)
