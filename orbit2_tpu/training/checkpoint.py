@@ -28,17 +28,69 @@ except Exception:  # pragma: no cover
     _HAS_ORBAX = False
 
 
-def save_checkpoint(path: str, state: Dict[str, Any]):
-    """state: pytree of arrays + scalars (params, opt_state, epoch, ...)."""
+_ASYNC_CKPTR = None
+
+
+def _async_checkpointer():
+    global _ASYNC_CKPTR
+    if _ASYNC_CKPTR is None:
+        _ASYNC_CKPTR = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    return _ASYNC_CKPTR
+
+
+def save_checkpoint(path: str, state: Dict[str, Any], async_save: bool = False):
+    """state: pytree of arrays + scalars (params, opt_state, epoch, ...).
+
+    async_save=True overlaps the write with the next training steps (Orbax
+    AsyncCheckpointer) — the recovery story the reference lacks beyond
+    blocking epoch-end torch.save (SURVEY.md §5). Writes are atomic either
+    way (Orbax commits via rename)."""
     path = os.path.abspath(path)
     if _HAS_ORBAX:
-        ckptr = ocp.StandardCheckpointer()
-        ckptr.save(path, state, force=True)
-        ckptr.wait_until_finished()
+        if async_save:
+            ckptr = _async_checkpointer()
+            ckptr.save(path, args=ocp.args.StandardSave(state), force=True)
+        else:
+            ckptr = ocp.StandardCheckpointer()
+            ckptr.save(path, state, force=True)
+            ckptr.wait_until_finished()
     else:  # pragma: no cover
         flat, treedef = jax.tree_util.tree_flatten(state)
         np.savez(path + ".npz", treedef=str(treedef),
                  **{str(i): np.asarray(x) for i, x in enumerate(flat)})
+
+
+def wait_for_async_saves():
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
+
+
+def prune_checkpoints(directory: str, keep_last: int, prefix: str = "epoch_",
+                      current_epoch: Optional[int] = None):
+    """Keep only the newest `keep_last` epoch checkpoints.
+
+    With async saves the newest directory may not be committed yet, so when
+    `current_epoch` is given the cutoff is epoch-number-based
+    (delete <= current_epoch - keep_last) rather than existence-based —
+    Orbax serializes saves, so everything at or below the cutoff is durable.
+    """
+    import shutil
+
+    if not os.path.isdir(directory) or keep_last <= 0:
+        return
+    epochs = []
+    for name in os.listdir(directory):
+        if name.startswith(prefix):
+            try:
+                epochs.append((int(name[len(prefix):]), name))
+            except ValueError:
+                continue
+    if current_epoch is not None:
+        doomed = [n for e, n in epochs if e <= current_epoch - keep_last]
+    else:
+        doomed = [n for _, n in sorted(epochs)[:-keep_last]]
+    for name in doomed:
+        shutil.rmtree(os.path.join(directory, name), ignore_errors=True)
 
 
 def restore_checkpoint(path: str, template: Optional[Dict[str, Any]] = None):

@@ -28,9 +28,12 @@ log = logging.getLogger("orbit2_tpu")
 
 class Trainer:
     def __init__(self, config: Config, mesh=None, checkpoint_dir: str = "checkpoints/climate",
-                 run_validation: bool = False, metrics_path: Optional[str] = None):
+                 run_validation: bool = False, metrics_path: Optional[str] = None,
+                 async_checkpoints: bool = False, keep_last_checkpoints: int = 0):
         from orbit2_tpu.utils.logging import MetricsLogger
 
+        self.async_checkpoints = async_checkpoints
+        self.keep_last_checkpoints = keep_last_checkpoints
         self.cfg = config.validate()
         self.mesh = mesh if mesh is not None else mesh_from_config(config.parallelism)
         self.checkpoint_dir = checkpoint_dir
@@ -272,6 +275,7 @@ class Trainer:
                 epoch_start = epoch_end
                 if epoch_start >= max_epochs:
                     break
+        ckpt.wait_for_async_saves()
         return self.history
 
     def validate(self, phase_model, dm, in_vars, out_vars, epoch: int):
@@ -331,6 +335,11 @@ class Trainer:
     def _save(self, epoch: int):
         os.makedirs(self.checkpoint_dir, exist_ok=True)
         path = os.path.join(self.checkpoint_dir, f"epoch_{epoch}")
+        # async: the Orbax write overlaps the next epoch's compute; pruning
+        # keeps the newest keep_last_checkpoints (0 = keep all)
         ckpt.save_checkpoint(path, {
             "params": self.params, "opt_state": self.opt_state, "epoch": epoch,
-        })
+        }, async_save=self.async_checkpoints)
+        if self.keep_last_checkpoints:
+            ckpt.prune_checkpoints(self.checkpoint_dir, self.keep_last_checkpoints,
+                                   current_epoch=epoch)

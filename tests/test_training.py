@@ -275,3 +275,18 @@ def test_trainer_tiling_divisibility_error(synth_dataset, tmp_path):
     t = Trainer(cfg, checkpoint_dir=str(tmp_path / "ck"))
     with pytest.raises(ValueError, match="overlap"):
         t.fit(max_epochs=1, max_steps_per_epoch=1)
+
+
+def test_async_checkpoints_and_retention(tiny_config, tmp_path):
+    from orbit2_tpu.training.trainer import Trainer
+    from orbit2_tpu.training import checkpoint as ck
+
+    ckdir = str(tmp_path / "ck")
+    t = Trainer(tiny_config, checkpoint_dir=ckdir, async_checkpoints=True,
+                keep_last_checkpoints=1)
+    t.fit(max_epochs=2, max_steps_per_epoch=1)
+    ck.wait_for_async_saves()
+    kept = sorted(d for d in os.listdir(ckdir) if d.startswith("epoch_"))
+    assert kept == ["epoch_1"]  # only newest retained
+    state = ck.restore_checkpoint(os.path.join(ckdir, "epoch_1"))
+    assert int(state["epoch"]) == 1
