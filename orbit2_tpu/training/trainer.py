@@ -245,14 +245,24 @@ class Trainer:
                         self.opt_state, self.lr_schedule(epoch))
                     t0 = time.perf_counter()
                     epoch_loss, nbatches = 0.0, 0
-                    for batch_idx, batch in enumerate(dm.train_dataloader()):
+
+                    def _staged(loader):
+                        # device_prefetch: stage H2D transfers `depth` batches
+                        # ahead so the copy overlaps the previous step's compute
+                        from orbit2_tpu.data.loader import device_prefetch
+
+                        def put(batch):
+                            if len(batch) == 5:  # extreme-mask collate branch
+                                x, y = batch[0], batch[1]
+                            else:
+                                x, y = batch[0], batch[1]
+                            return self._put_batch(x, y)
+
+                        return device_prefetch(loader, put, depth=2)
+
+                    for batch_idx, (x, y) in enumerate(_staged(dm.train_dataloader())):
                         if max_steps_per_epoch and batch_idx >= max_steps_per_epoch:
                             break
-                        if len(batch) == 5:  # extreme-mask collate branch
-                            x, y, _mask, bin_vars, bout_vars = batch
-                        else:
-                            x, y, bin_vars, bout_vars = batch
-                        x, y = self._put_batch(x, y)
                         rng, step_rng = jax.random.split(rng)
                         with self.mesh:
                             self.params, self.opt_state, loss = train_step(
