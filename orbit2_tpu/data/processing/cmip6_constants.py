@@ -1,45 +1,27 @@
-"""CMIP6 variable naming tables (reference
-src/climate_learn/data/processing/cmip6_constants.py)."""
+"""CMIP6 variable naming/metadata tables (same facts as the reference's
+cmip6_constants module — CMIP6 conventions, not code), spec-table form like
+era5_constants."""
 
-NAME_TO_VAR = {
-    "geopotential": "zg",
-    "u_component_of_wind": "u",
-    "v_component_of_wind": "v",
-    "temperature": "ta",
-    "specific_humidity": "hus",
-    "air_temperature": "tas",
+_SPEC = {
+    "air_temperature": ("tas", "C", "s"),
+    "geopotential": ("zg", "m^2/s^2", "p"),
+    "u_component_of_wind": ("u", "m/s", "p"),
+    "v_component_of_wind": ("v", "m/s", "p"),
+    "temperature": ("ta", "C", "p"),
+    "specific_humidity": ("hus", "kg/kg", "p"),
 }
 
-VAR_TO_NAME = {v: k for k, v in NAME_TO_VAR.items()}
-
-SINGLE_LEVEL_VARS = ["air_temperature"]
-
-PRESSURE_LEVEL_VARS = [
-    "geopotential",
-    "u_component_of_wind",
-    "v_component_of_wind",
-    "temperature",
-    "specific_humidity",
-]
-
-VAR_TO_UNIT = {
-    "air_temperature": "C",
-    "geopotential": "m^2/s^2",
-    "u_component_of_wind": "m/s",
-    "v_component_of_wind": "m/s",
-    "temperature": "C",
-    "specific_humidity": "kg/kg",
-}
+NAME_TO_VAR = {name: code for name, (code, _, _) in _SPEC.items()}
+VAR_TO_NAME = {code: name for name, code in NAME_TO_VAR.items()}
+VAR_TO_UNIT = {name: unit for name, (_, unit, _) in _SPEC.items()}
+SINGLE_LEVEL_VARS = [n for n, (_, _, kind) in _SPEC.items() if kind == "s"]
+PRESSURE_LEVEL_VARS = [n for n, (_, _, kind) in _SPEC.items() if kind == "p"]
 
 DEFAULT_PRESSURE_LEVELS = [50, 250, 500, 600, 700, 850, 925]
-
 CONSTANTS = []
 
-NAME_LEVEL_TO_VAR_LEVEL = {}
-for _var in SINGLE_LEVEL_VARS:
-    NAME_LEVEL_TO_VAR_LEVEL[_var] = NAME_TO_VAR[_var]
+NAME_LEVEL_TO_VAR_LEVEL = {n: NAME_TO_VAR[n] for n in SINGLE_LEVEL_VARS}
 for _var in PRESSURE_LEVEL_VARS:
     for _l in DEFAULT_PRESSURE_LEVELS:
         NAME_LEVEL_TO_VAR_LEVEL[f"{_var}_{_l}"] = f"{NAME_TO_VAR[_var]}_{_l}"
-
 VAR_LEVEL_TO_NAME_LEVEL = {v: k for k, v in NAME_LEVEL_TO_VAR_LEVEL.items()}
