@@ -33,6 +33,7 @@ class TrainerConfig:
     data_type: str = "bfloat16"  # compute dtype; master params stay fp32
     train_loss: str = "bayesian_tv"
     remat: bool = True
+    remat_policy: str = "full"  # full | dots (jax.checkpoint_policies)
     seed: int = 0
     # epochs trained per dataset phase before rotating to the next data_key
     # (reference interval_epochs=1, intermediate_downscaling.py:490)
@@ -41,6 +42,8 @@ class TrainerConfig:
     def validate(self):
         if self.data_type not in ("bfloat16", "float32"):
             raise ConfigError(f"data_type must be bfloat16|float32, got {self.data_type}")
+        if self.remat_policy not in ("full", "dots"):
+            raise ConfigError(f"remat_policy must be full|dots, got {self.remat_policy}")
         if self.max_epochs <= 0 or self.batch_size <= 0:
             raise ConfigError("max_epochs and batch_size must be positive")
 
@@ -169,15 +172,11 @@ def _build(cls, raw: Optional[Dict[str, Any]]):
     unknown = set(raw) - names
     if unknown:
         raise ConfigError(f"unknown keys for {cls.__name__}: {sorted(unknown)}")
-    kwargs = {}
-    for f in dataclasses.fields(cls):
-        if f.name not in raw or raw[f.name] is None:
-            continue
-        val = raw[f.name]
-        # YAML gives "2e-3" as str sometimes; coerce scalars
-        if f.type in ("int",) or f.default.__class__ is int and not isinstance(f.default, bool):
-            pass
-        kwargs[f.name] = val
+    kwargs = {
+        f.name: raw[f.name]
+        for f in dataclasses.fields(cls)
+        if f.name in raw and raw[f.name] is not None
+    }
     cfg = cls(**kwargs)
     # coerce numeric strings (reference float()s them manually, :429-436)
     for f in dataclasses.fields(cls):

@@ -76,32 +76,51 @@ class BatchLoader:
         self.collate = collate_continuous if continuous else collate
         self.prefetch = prefetch
 
-    def _produce(self, q: queue.Queue):
+    def _put(self, q: queue.Queue, stop: threading.Event, item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    def _produce(self, q: queue.Queue, stop: threading.Event):
         try:
             buf = []
             for sample in self.dataset:
+                if stop.is_set():
+                    return
                 buf.append(sample)
                 if len(buf) == self.batch_size:
-                    q.put(self.collate(buf))
+                    if not self._put(q, stop, self.collate(buf)):
+                        return
                     buf = []
             if buf and not self.drop_last:
-                q.put(self.collate(buf))
+                self._put(q, stop, self.collate(buf))
         except BaseException as e:  # surface worker errors in the consumer
-            q.put(e)
+            self._put(q, stop, e)
         finally:
-            q.put(self._SENTINEL)
+            self._put(q, stop, self._SENTINEL)
 
     def __iter__(self) -> Iterator[tuple]:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
-        t = threading.Thread(target=self._produce, args=(q,), daemon=True)
+        stop = threading.Event()
+        t = threading.Thread(target=self._produce, args=(q, stop), daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is self._SENTINEL:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is self._SENTINEL:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            # consumer stopped (break / exception): unblock and end the
+            # producer instead of leaking a thread per epoch
+            stop.set()
+            t.join(timeout=5)
 
 
 def device_prefetch(iterator, put_fn, depth: int = 2):

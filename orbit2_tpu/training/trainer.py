@@ -105,6 +105,7 @@ class Trainer:
             attention_impl=c.model.attention_impl,
             data_type=c.trainer.data_type,
             remat=c.trainer.remat,
+            remat_policy=c.trainer.remat_policy,
         )
         (model, train_loss, val_losses, test_losses, _, val_transforms,
          test_transforms) = load_downscaling_module(
@@ -252,11 +253,8 @@ class Trainer:
                         from orbit2_tpu.data.loader import device_prefetch
 
                         def put(batch):
-                            if len(batch) == 5:  # extreme-mask collate branch
-                                x, y = batch[0], batch[1]
-                            else:
-                                x, y = batch[0], batch[1]
-                            return self._put_batch(x, y)
+                            # batch is (x, y, [mask,] in_vars, out_vars)
+                            return self._put_batch(batch[0], batch[1])
 
                         return device_prefetch(loader, put, depth=2)
 
@@ -289,7 +287,14 @@ class Trainer:
         return self.history
 
     def validate(self, phase_model, dm, in_vars, out_vars, epoch: int):
-        eval_step = make_eval_step(phase_model, in_vars, out_vars, mesh=self.mesh)
+        # cache the jitted eval step per variable-set (one compile per phase)
+        ekey = (tuple(in_vars), tuple(out_vars), phase_model.img_size)
+        if not hasattr(self, "_eval_steps"):
+            self._eval_steps = {}
+        if ekey not in self._eval_steps:
+            self._eval_steps[ekey] = make_eval_step(
+                phase_model, in_vars, out_vars, mesh=self.mesh)
+        eval_step = self._eval_steps[ekey]
         agg: Dict[str, float] = {}
         n = 0
         for batch in dm.val_dataloader():

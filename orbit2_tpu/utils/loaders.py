@@ -188,6 +188,7 @@ def load_architecture(
     attention_impl="auto",
     data_type="float32",
     remat=False,
+    remat_policy="full",
     **_ignored,
 ):
     """reference loaders.py:259-387. tensor_par_size/group args are gone: the
@@ -274,6 +275,7 @@ def load_architecture(
                 drop_rate=drop_rate,
                 attention_impl=attention_impl,
                 remat=remat,
+                remat_policy=remat_policy,
                 dtype=dtype,
             )
         raise_not_impl()

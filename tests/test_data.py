@@ -222,3 +222,25 @@ def test_era5_to_prism_module(tmp_path):
     assert dm.get_out_mask().shape == (110, 240)
     clim = dm.get_climatology("val")
     assert clim["daily_tmax"].shape == (1, 104, 236)
+
+
+def test_batchloader_early_break_stops_producer(synth_dataset):
+    """Breaking out of a BatchLoader epoch must terminate the producer
+    thread (no thread leak across curriculum epochs)."""
+    import threading
+
+    ds = synth_dataset
+    dm = IterDataModule(
+        "downscaling", ds["low"], ds["high"], ds["in_vars"], ds["out_vars"],
+        batch_size=2, buffer_size=4,
+    )
+    dm.setup()
+    before = threading.active_count()
+    for _ in range(5):
+        for batch in dm.train_dataloader():
+            break  # early exit every epoch
+    import time
+
+    time.sleep(0.5)
+    after = threading.active_count()
+    assert after <= before + 1
