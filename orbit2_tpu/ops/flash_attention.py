@@ -55,7 +55,12 @@ def flash_supported(q, k, v) -> bool:
     return n_q >= 128 and n_k >= 128
 
 
-def _mask_cols(s, kb, block_k, kv_len):
+def _mask_cols(s, kb, block_k, kv_len, padded_len=None):
+    """-inf for padded kv columns. Static no-op when nothing is padded —
+    the kernel is VPU-bound, so skipping this full pass over the scores
+    matters in the common unpadded case."""
+    if padded_len is not None and kv_len == padded_len:
+        return s
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     return jnp.where(col + kb * block_k < kv_len, s, _NEG_INF)
 
@@ -75,7 +80,7 @@ def _dropout_mult(seed_ref, b, i, kb, shape, drop_rate):
 # ---- forward ----------------------------------------------------------------
 
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref,
-                acc_ref, *, sm_scale, block_k, kv_len, drop_rate):
+                acc_ref, *, sm_scale, block_k, kv_len, padded_len, drop_rate):
     b = pl.program_id(0)
     i = pl.program_id(1)
     kb = pl.program_id(2)
@@ -87,13 +92,15 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref,
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
+    # keep matmul inputs in their native (bf16) dtype: the MXU's bf16 path
+    # with fp32 accumulation is ~2x the f32 path; only softmax runs in f32
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * (sm_scale * _LOG2E)
-    s = _mask_cols(s, kb, block_k, kv_len)
+    s = _mask_cols(s, kb, block_k, kv_len, padded_len)
 
     m_prev = m_ref[:]
     l_prev = l_ref[:]
@@ -108,7 +115,8 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref,
         # undropped p; only the value-accumulation path is masked
         p = p * _dropout_mult(seed_ref, b, i, kb, p.shape, drop_rate)
     acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
 
     @pl.when(kb == num_kb - 1)
     def _():
@@ -127,7 +135,7 @@ def _flash_fwd(q, k, v, seed, sm_scale, block_q, block_k, kv_len, drop_rate):
 
     o, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, sm_scale=sm_scale, block_k=block_k,
-                          kv_len=kv_len, drop_rate=drop_rate),
+                          kv_len=kv_len, padded_len=n_k, drop_rate=drop_rate),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -169,7 +177,8 @@ def _flash_fwd(q, k, v, seed, sm_scale, block_q, block_k, kv_len, drop_rate):
 # ---- backward ---------------------------------------------------------------
 
 def _dq_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-               dq_ref, acc_ref, *, sm_scale, block_k, kv_len, drop_rate):
+               dq_ref, acc_ref, *, sm_scale, block_k, kv_len, padded_len,
+               drop_rate):
     b = pl.program_id(0)
     i = pl.program_id(1)
     kb = pl.program_id(2)
@@ -179,16 +188,16 @@ def _dq_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
+    q = q_ref[0]
+    do = do_ref[0]
     lse = lse_ref[0, 0, :][:, None]
     delta = delta_ref[0, 0, :][:, None]
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
+    k = k_ref[0]
+    v = v_ref[0]
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * (sm_scale * _LOG2E)
-    s = _mask_cols(s, kb, block_k, kv_len)
+    s = _mask_cols(s, kb, block_k, kv_len, padded_len)
     p = jnp.exp2(s - lse)
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
@@ -197,7 +206,8 @@ def _dq_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         # equals rowsum(p_dropped * dy), so the standard identity holds
         dp = dp * _dropout_mult(seed_ref, b, i, kb, dp.shape, drop_rate)
     ds = p * (dp - delta) * sm_scale
-    acc_ref[:] += jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+    acc_ref[:] += jax.lax.dot_general(ds.astype(k.dtype), k,
+                                      (((1,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32)
 
     @pl.when(kb == num_kb - 1)
@@ -218,10 +228,10 @@ def _dkv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dk_acc[:] = jnp.zeros_like(dk_acc)
         dv_acc[:] = jnp.zeros_like(dv_acc)
 
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    q = q_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
+    k = k_ref[0]
+    v = v_ref[0]
+    q = q_ref[0]
+    do = do_ref[0]
     lse = lse_ref[0, 0, :][:, None]
     delta = delta_ref[0, 0, :][:, None]
 
@@ -236,14 +246,16 @@ def _dkv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         y_t = p_t * mult_t
     else:
         y_t = p_t
-    dv_acc[:] += jax.lax.dot_general(y_t, do, (((1,), (0,)), ((), ())),
+    dv_acc[:] += jax.lax.dot_general(y_t.astype(do.dtype), do,
+                                     (((1,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
     dp_t = jax.lax.dot_general(v, do, (((1,), (1,)), ((), ())),
                                preferred_element_type=jnp.float32)
     if drop_rate > 0.0:
         dp_t = dp_t * mult_t
     ds_t = p_t * (dp_t - delta.T) * sm_scale
-    dk_acc[:] += jax.lax.dot_general(ds_t, q, (((1,), (0,)), ((), ())),
+    dk_acc[:] += jax.lax.dot_general(ds_t.astype(q.dtype), q,
+                                     (((1,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
 
     @pl.when(qb == num_qb - 1)
@@ -261,7 +273,7 @@ def _flash_bwd(sm_scale, block_q, block_k, kv_len, drop_rate, res, do):
 
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, sm_scale=sm_scale, block_k=block_k,
-                          kv_len=kv_len, drop_rate=drop_rate),
+                          kv_len=kv_len, padded_len=n_k, drop_rate=drop_rate),
         grid=(bh, n_q // block_q, n_k // block_k),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
