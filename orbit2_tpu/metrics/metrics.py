@@ -198,6 +198,34 @@ class LatNRMSE(Metric):
         return self._s(pred, target) + 5 * self._g(pred, target)
 
 
+@register("masked_mse")
+class MaskedMSE(Metric):
+    """Validity-masked MSE (for PRISM/DAYMET nodata regions). The reference's
+    fine-tune CLI offers 'masked_mse' (era5_daymet_downscaling.py:214) but
+    never registers it — another registry gap fixed here. The mask comes from
+    the data module's `get_out_mask()` via `set_mask`, or per call."""
+
+    def set_mask(self, mask):
+        self.mask = jnp.asarray(mask, dtype=jnp.float32)
+        return self
+
+    def __call__(self, pred, target, var_names=None, var_weights=None, mask=None):
+        m = mask if mask is not None else getattr(self, "mask", None)
+        error = jnp.square(pred - target)
+        if m is not None:
+            m = jnp.broadcast_to(m, error.shape).astype(error.dtype)
+            denom = m.mean() + 1e-9
+            error = error * m / denom
+        if var_names is not None:
+            w = F.channel_weights(var_names, var_weights, error.shape[1])
+            error = error * jnp.asarray(w, dtype=error.dtype).reshape(1, -1, 1, 1)
+        per_channel = error.mean(axis=(0, 2, 3))
+        loss = error.mean()
+        if self.aggregate_only:
+            return loss
+        return jnp.concatenate([per_channel, loss[None]])
+
+
 @register("perceptual")
 class Perceptual(Metric):
     """L1 + 0.5*LPIPS(VGG16) (reference metrics.py:119-187, functional.py:17-33).

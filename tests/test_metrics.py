@@ -173,3 +173,24 @@ def test_lpips_missing_weights_raises(monkeypatch):
     monkeypatch.delenv("ORBIT2_LPIPS_WEIGHTS", raising=False)
     with pytest.raises(FileNotFoundError):
         METRICS_REGISTRY["perceptual"](aggregate_only=True)
+
+
+def test_masked_mse():
+    """masked_mse (fixes the reference's unregistered-loss gap,
+    era5_daymet_downscaling.py:214): masked-out pixels contribute nothing;
+    the mask-mean renormalization keeps the scale of plain MSE."""
+    rng = np.random.default_rng(5)
+    pred = rng.normal(size=(2, 1, 4, 4)).astype(np.float32)
+    target = rng.normal(size=(2, 1, 4, 4)).astype(np.float32)
+    mask = np.zeros((4, 4), np.float32)
+    mask[:2] = 1.0  # only top half valid
+
+    m = METRICS_REGISTRY["masked_mse"](aggregate_only=True).set_mask(mask)
+    got = float(m(jnp.asarray(pred), jnp.asarray(target)))
+    want = (((pred - target) ** 2) * mask).mean() / mask.mean()
+    assert got == pytest.approx(want, rel=1e-5)
+    # corrupting masked-out pixels changes nothing
+    pred2 = pred.copy()
+    pred2[:, :, 2:] += 100.0
+    got2 = float(m(jnp.asarray(pred2), jnp.asarray(target)))
+    assert got2 == pytest.approx(got, rel=1e-5)
