@@ -42,13 +42,38 @@ def get_2d_sincos_pos_embed(
     return pos_embed
 
 
+def _torch_bicubic_weights(in_size: int, out_size: int) -> np.ndarray:
+    """Dense [out, in] interpolation matrix reproducing
+    F.interpolate(mode='bicubic', align_corners=False): Keys cubic kernel
+    a=-0.75, half-pixel sampling, edge-replicated taps. (jax.image.resize's
+    bicubic uses a different kernel — max |diff| ~0.27 on unit-scale data —
+    which would break checkpoint-import parity for resized pos embeds.)"""
+    a = -0.75
+    scale = in_size / out_size
+    w = np.zeros((out_size, in_size), dtype=np.float64)
+    for j in range(out_size):
+        src = (j + 0.5) * scale - 0.5
+        i0 = int(np.floor(src))
+        t = src - i0
+        weights = [
+            ((a * (t + 1) - 5 * a) * (t + 1) + 8 * a) * (t + 1) - 4 * a,
+            ((a + 2) * t - (a + 3)) * t * t + 1,
+            ((a + 2) * (1 - t) - (a + 3)) * (1 - t) ** 2 + 1,
+            ((a * (2 - t) - 5 * a) * (2 - t) + 8 * a) * (2 - t) - 4 * a,
+        ]
+        for tap, wt in zip(range(i0 - 1, i0 + 3), weights):
+            w[j, min(max(tap, 0), in_size - 1)] += wt
+    return w.astype(np.float32)
+
+
 def interpolate_pos_embed_on_the_fly(
     pos_embed: jax.Array, patch_size: int, new_size: Tuple[int, int]
 ) -> jax.Array:
     """Resize [1, L, D] -> [1, L', D] for the current image size.
 
     Keeps the reference's W:H = 2:1 assumption for recovering the base grid
-    (reference pos_embed.py:103-138).
+    (reference pos_embed.py:103-138). Bicubic matches torch exactly (see
+    _torch_bicubic_weights) so imported checkpoints resize identically.
     """
     embedding_size = pos_embed.shape[-1]
     orig_num_patches = pos_embed.shape[-2]
@@ -58,10 +83,11 @@ def interpolate_pos_embed_on_the_fly(
     new_h, new_w = new_size[0] // patch_size, new_size[1] // patch_size
     if orig_h == new_h and orig_w == new_w:
         return pos_embed
-    tokens = pos_embed.reshape(1, orig_h, orig_w, embedding_size)
-    resized = jax.image.resize(
-        tokens, (1, new_h, new_w, embedding_size), method="bicubic"
-    )
+    grid = pos_embed.reshape(orig_h, orig_w, embedding_size)
+    wh = jnp.asarray(_torch_bicubic_weights(orig_h, new_h), dtype=pos_embed.dtype)
+    ww = jnp.asarray(_torch_bicubic_weights(orig_w, new_w), dtype=pos_embed.dtype)
+    resized = jnp.einsum("Hh,hwd->Hwd", wh, grid)
+    resized = jnp.einsum("Ww,hwd->hWd", ww, resized)
     return resized.reshape(1, new_h * new_w, embedding_size)
 
 
