@@ -58,6 +58,7 @@ def make_train_step(
     out_variables: Sequence[str],
     mesh=None,
     abstract_params=None,
+    debug_grad_norms: bool = False,
 ):
     """Returns jitted step(params, opt_state, x, y, rng) -> (params, opt_state, loss).
 
@@ -83,6 +84,10 @@ def make_train_step(
             return losses if losses.ndim == 0 else losses[-1]
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
+        if debug_grad_norms:
+            from orbit2_tpu.training.debug import grad_inspect
+
+            grad_inspect(grads)
         updates, new_opt_state = tx.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
         return new_params, new_opt_state, loss

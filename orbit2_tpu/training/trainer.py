@@ -29,10 +29,12 @@ log = logging.getLogger("orbit2_tpu")
 class Trainer:
     def __init__(self, config: Config, mesh=None, checkpoint_dir: str = "checkpoints/climate",
                  run_validation: bool = False, metrics_path: Optional[str] = None,
-                 async_checkpoints: bool = False, keep_last_checkpoints: int = 0):
+                 async_checkpoints: bool = False, keep_last_checkpoints: int = 0,
+                 debug_grad_norms: bool = False):
         from orbit2_tpu.utils.logging import MetricsLogger
 
         self.async_checkpoints = async_checkpoints
+        self.debug_grad_norms = debug_grad_norms
         self.keep_last_checkpoints = keep_last_checkpoints
         self.cfg = config.validate()
         self.mesh = mesh if mesh is not None else mesh_from_config(config.parallelism)
@@ -237,6 +239,7 @@ class Trainer:
                     steps[data_key] = make_train_step(
                         phase_model, self.train_loss, c.data.var_weights,
                         self.tx, in_vars, out_vars, mesh=self.mesh,
+                        debug_grad_norms=self.debug_grad_norms,
                     )
                 train_step = steps[data_key]
 
