@@ -290,3 +290,34 @@ def test_async_checkpoints_and_retention(tiny_config, tmp_path):
     assert kept == ["epoch_1"]  # only newest retained
     state = ck.restore_checkpoint(os.path.join(ckdir, "epoch_1"))
     assert int(state["epoch"]) == 1
+
+
+def test_trainer_with_seq_parallelism(synth_dataset, tmp_path):
+    """Trainer with seq_par=2: token-sharded activations through the full
+    train step (the axis the reference stubs)."""
+    from orbit2_tpu.config import load_config
+    from orbit2_tpu.training.trainer import Trainer
+
+    ds = synth_dataset
+    cfg = load_config({
+        "trainer": {"max_epochs": 1, "batch_size": 4, "buffer_size": 4,
+                     "data_type": "float32", "train_loss": "mse",
+                     "remat": False},
+        "parallelism": {"fsdp": 2, "simple_ddp": 1, "tensor_par": 2,
+                         "seq_par": 2},
+        "model": {"preset": "res_slimvit", "lr": 1e-3, "warmup_epochs": 1,
+                   "embed_dim": 32, "depth": 1, "decoder_depth": 1,
+                   "num_heads": 2, "patch_size": 2, "drop_path": 0.0,
+                   "drop_rate": 0.0, "attention_impl": "xla"},
+        "data": {
+            "low_res_dir": {"S": ds["low"]}, "high_res_dir": {"S": ds["high"]},
+            "spatial_resolution": {"S": 625},
+            "default_vars": list(ds["in_vars"]),
+            "dict_in_variables": {"S": list(ds["in_vars"])},
+            "dict_out_variables": {"S": list(ds["out_vars"])},
+            "var_weights": {},
+        },
+    })
+    t = Trainer(cfg, checkpoint_dir=str(tmp_path / "ck"))
+    hist = t.fit(max_epochs=1, max_steps_per_epoch=2)
+    assert hist and np.isfinite(hist[0]["loss"])
