@@ -194,3 +194,63 @@ def test_masked_mse():
     pred2[:, :, 2:] += 100.0
     got2 = float(m(jnp.asarray(pred2), jnp.asarray(target)))
     assert got2 == pytest.approx(got, rel=1e-5)
+
+
+def test_gaussian_crps_properties():
+    """CRPS of a sharp correct forecast ~0; grows with error/spread
+    (reference functional.py:340-360)."""
+    target = jnp.zeros((2, 1, 4, 4))
+    sharp = F.gaussian_crps(jnp.zeros_like(target), jnp.full_like(target, 1e-3),
+                            target, aggregate_only=True)
+    wide = F.gaussian_crps(jnp.zeros_like(target), jnp.full_like(target, 1.0),
+                           target, aggregate_only=True)
+    biased = F.gaussian_crps(jnp.full_like(target, 2.0),
+                             jnp.full_like(target, 1.0), target,
+                             aggregate_only=True)
+    assert float(sharp) < float(wide) < float(biased)
+
+
+def test_gaussian_spread_and_ratio():
+    std = jnp.full((2, 1, 4, 4), 0.5)
+    spread = F.gaussian_spread(std, aggregate_only=True)
+    assert float(spread) == pytest.approx(0.25, rel=1e-5)  # variance mean
+    mean = jnp.zeros((2, 1, 4, 4))
+    target = jnp.ones((2, 1, 4, 4))
+    ratio = F.gaussian_spread_skill_ratio(mean, std, target, aggregate_only=True)
+    assert float(ratio) == pytest.approx(0.25 / 1.0, rel=1e-4)
+
+
+def test_msess_perfect_forecast_is_one():
+    clim = jnp.zeros((1, C, H, W))
+    got = F.msess(jnp.asarray(TARGET), jnp.asarray(TARGET), clim,
+                  aggregate_only=True)
+    assert float(got) == pytest.approx(1.0)
+
+
+def test_nrmses_nrmseg_scale_with_climatology():
+    clim = jnp.asarray([2.0, 2.0, 2.0])
+    s1 = F.nrmses(jnp.asarray(PRED), jnp.asarray(TARGET), clim, aggregate_only=True)
+    s2 = F.nrmses(jnp.asarray(PRED), jnp.asarray(TARGET), clim * 2, aggregate_only=True)
+    assert float(s1) == pytest.approx(2 * float(s2), rel=1e-5)
+    g1 = F.nrmseg(jnp.asarray(PRED), jnp.asarray(TARGET), clim, aggregate_only=True)
+    assert float(g1) > 0
+
+
+def test_handles_probabilistic_unwraps_tuple():
+    @F.handles_probabilistic
+    def first_mean(pred):
+        return pred.mean()
+
+    x = jnp.ones((2, 2))
+    assert float(first_mean((x, x * 9))) == 1.0  # uses mean, ignores std
+    assert float(first_mean(x)) == 1.0
+
+
+def test_transformed_metric_composes():
+    from orbit2_tpu.metrics.metrics import TransformedMetric
+
+    base = METRICS_REGISTRY["mse"](aggregate_only=True)
+    doubled = TransformedMetric(lambda x: 2 * x, base)
+    p, t = jnp.zeros((1, 1, 2, 2)), jnp.ones((1, 1, 2, 2))
+    assert float(doubled(p, t)) == pytest.approx(4 * float(base(p, t)))
+    assert doubled.name == "mse"
