@@ -321,3 +321,36 @@ def test_trainer_with_seq_parallelism(synth_dataset, tmp_path):
     t = Trainer(cfg, checkpoint_dir=str(tmp_path / "ck"))
     hist = t.fit(max_epochs=1, max_steps_per_epoch=2)
     assert hist and np.isfinite(hist[0]["loss"])
+
+
+def test_interval_epochs_rotation(synth_dataset, tmp_path):
+    """interval_epochs=2 trains 2 epochs per data_key before rotating
+    (reference interval_epochs semantics, intermediate_downscaling.py:490)."""
+    from orbit2_tpu.config import load_config
+    from orbit2_tpu.training.trainer import Trainer
+
+    ds = synth_dataset
+    cfg = load_config({
+        "trainer": {"max_epochs": 4, "batch_size": 4, "buffer_size": 4,
+                     "data_type": "float32", "train_loss": "mse",
+                     "remat": False, "interval_epochs": 2},
+        "parallelism": {"fsdp": 2},
+        "model": {"preset": "res_slimvit", "lr": 1e-3, "warmup_epochs": 1,
+                   "embed_dim": 32, "depth": 1, "decoder_depth": 1,
+                   "num_heads": 2, "patch_size": 2, "drop_path": 0.0,
+                   "drop_rate": 0.0, "attention_impl": "xla"},
+        "data": {
+            "low_res_dir": {"A": ds["low"], "B": ds["low"]},
+            "high_res_dir": {"A": ds["high"], "B": ds["high"]},
+            "spatial_resolution": {"A": 625, "B": 111},
+            "default_vars": list(ds["in_vars"]),
+            "dict_in_variables": {"A": list(ds["in_vars"]),
+                                    "B": list(ds["in_vars"])},
+            "dict_out_variables": {"A": list(ds["out_vars"]),
+                                     "B": list(ds["out_vars"])},
+        },
+    })
+    t = Trainer(cfg, checkpoint_dir=str(tmp_path / "ck"))
+    hist = t.fit(max_epochs=4, max_steps_per_epoch=1)
+    assert [h["data_key"] for h in hist] == ["A", "A", "B", "B"]
+    assert [h["epoch"] for h in hist] == [0, 1, 2, 3]
