@@ -112,8 +112,8 @@ class Attention(nn.Module):
         qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         if self.qk_norm:
-            q = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype, name="q_norm")(q)
-            k = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype, name="k_norm")(k)
+            q = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype, name="q_norm")(q)
+            k = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype, name="k_norm")(k)
 
         drop_rate = 0.0 if deterministic else self.attn_drop
         rng = self.make_rng("dropout") if drop_rate > 0.0 else None
@@ -233,7 +233,7 @@ class Block(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        y = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype, name="norm1")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype, name="norm1")(x)
         y = Attention(
             dim=self.dim, num_heads=self.num_heads, qkv_bias=self.qkv_bias,
             qk_norm=self.qk_norm, proj_bias=self.proj_bias, attn_drop=self.attn_drop,
@@ -244,7 +244,7 @@ class Block(nn.Module):
             y = LayerScale(self.dim, self.init_values, self.param_dtype, name="ls1")(y)
         x = x + DropPath(self.drop_path, name="drop_path1")(y, deterministic)
 
-        y = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype, name="norm2")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype, name="norm2")(x)
         y = Mlp(
             hidden_features=int(self.dim * self.mlp_ratio), drop=self.proj_drop,
             use_bias=self.proj_bias, dtype=self.dtype, param_dtype=self.param_dtype,

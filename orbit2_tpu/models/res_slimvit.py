@@ -284,8 +284,8 @@ class ResSlimViT(nn.Module):
                 dtype=self.dtype, param_dtype=self.param_dtype, name=f"blocks_{i}",
             )
             tokens = self._seq_constraint(blk(tokens, deterministic))
-        tokens = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype,
-                              name="norm")(tokens)
+        tokens = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                              param_dtype=self.param_dtype, name="norm")(tokens)
         return tokens
 
     def _unpatchify(self, y, H, W):

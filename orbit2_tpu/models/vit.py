@@ -77,8 +77,8 @@ class VisionTransformer(nn.Module):
                 drop_path=float(dpr[i]), attention_impl=self.attention_impl,
                 dtype=self.dtype, param_dtype=self.param_dtype, name=f"blocks_{i}",
             )(tokens, deterministic)
-        tokens = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype,
-                              name="norm")(tokens)
+        tokens = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                              param_dtype=self.param_dtype, name="norm")(tokens)
 
         y = tokens
         for i in range(self.decoder_depth):

@@ -171,19 +171,29 @@ class StoreDataLoader:
                 return self.store.gather(idx)
             return self.store.gather(idx, x_out, y_out)
 
+        # NOTE: the two buffers are reused every other batch — consumers must
+        # copy (jnp.asarray does) before two more iterations elapse.
         pending = None
         if n_batches > 0:
             pending = assemble(0, 0)
         for b in range(n_batches):
-            nxt = [None]
+            nxt = [None]  # [result] or [exception from the assemble thread]
             t = None
             if b + 1 < n_batches:
                 slot = (b + 1) % 2
-                t = threading.Thread(
-                    target=lambda: nxt.__setitem__(0, assemble(b + 1, slot)))
+
+                def _bg(b=b, slot=slot):
+                    try:
+                        nxt[0] = assemble(b + 1, slot)
+                    except BaseException as e:  # re-raised in the consumer
+                        nxt[0] = e
+
+                t = threading.Thread(target=_bg)
                 t.start()
             x, y = pending
             yield x, y, in_vars, out_vars
             if t is not None:
                 t.join()
+                if isinstance(nxt[0], BaseException):
+                    raise nxt[0]
                 pending = nxt[0]

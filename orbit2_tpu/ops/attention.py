@@ -5,8 +5,9 @@ NONE}, reference models/hub/components/attention.py:54-78, chosen at
 intermediate_downscaling.py:461-464). The TPU equivalents:
 
   * "pallas" — Pallas flash attention (ops/flash_attention.py), the CK
-    replacement; used when shapes are tile-aligned and no attention-prob
-    dropout is requested (dropout belongs outside the fused kernel).
+    replacement; used when shapes are tile-aligned. Attention-prob dropout
+    runs INSIDE the kernel via the TPU PRNG (mask regenerated identically in
+    fwd and both bwd kernels) — no [B,H,N,N] mask ever reaches HBM.
   * "xla"    — plain jnp softmax attention that XLA fuses well (SDPA
     equivalent), supports attention dropout.
   * "naive"  — same math, kept as an explicit always-works fallback.

@@ -56,13 +56,28 @@ def seq_flash_attention(q, k, v, sm_scale: Optional[float] = None,
 
     # check_vma=False: the pallas_call's ShapeDtypeStruct outputs carry no
     # varying-mesh-axes annotation (jax 0.9 vma checking)
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        # rng rides in_specs (replicated); each shard folds its seq index in
+        # so the kernel's per-q-block masks decorrelate across shards (local
+        # q-block indices restart at 0 on every shard).
+        @functools.partial(shard_map, mesh=mesh,
+                           in_specs=(spec, spec, spec, P()),
+                           out_specs=spec, check_vma=False)
+        def inner_drop(qb, kb, vb, rng):
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(AXIS_SEQ))
+            k_full = jax.lax.all_gather(kb, AXIS_SEQ, axis=1, tiled=True)
+            v_full = jax.lax.all_gather(vb, AXIS_SEQ, axis=1, tiled=True)
+            return flash_attention(qb, k_full, v_full, sm_scale=sm_scale,
+                                   dropout_rate=dropout_rate,
+                                   dropout_rng=rng)
+
+        return inner_drop(q, k, v, dropout_rng)
+
     @functools.partial(shard_map, mesh=mesh, in_specs=(spec, spec, spec),
                        out_specs=spec, check_vma=False)
     def inner(qb, kb, vb):
         k_full = jax.lax.all_gather(kb, AXIS_SEQ, axis=1, tiled=True)
         v_full = jax.lax.all_gather(vb, AXIS_SEQ, axis=1, tiled=True)
-        return flash_attention(qb, k_full, v_full, sm_scale=sm_scale,
-                               dropout_rate=dropout_rate,
-                               dropout_rng=dropout_rng)
+        return flash_attention(qb, k_full, v_full, sm_scale=sm_scale)
 
     return inner(q, k, v)

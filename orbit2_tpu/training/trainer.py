@@ -301,20 +301,40 @@ class Trainer:
         agg: Dict[str, float] = {}
         n = 0
         for batch in dm.val_dataloader():
-            x, y = batch[0], batch[1]
-            if x.shape[0] != dm.batch_size:
-                continue  # keep shapes static
-            x, y = self._put_batch(x, y)
-            with self.mesh:
-                yhat = eval_step(self.params, x, y)
-            losses = evaluate_batch(yhat, y, "val", self.val_losses,
-                                    self.val_transforms, out_vars)
+            losses, real = self._eval_one(eval_step, batch, "val",
+                                          self.val_losses, self.val_transforms,
+                                          out_vars, dm.batch_size)
             for k, v in losses.items():
-                agg[k] = agg.get(k, 0.0) + float(v)
-            n += 1
+                agg[k] = agg.get(k, 0.0) + float(v) * real
+            n += real
         means = {k: v / max(1, n) for k, v in agg.items()}
         log.info("validation epoch %d: %s", epoch, means)
         return means
+
+    def _eval_one(self, eval_step, batch, stage, loss_metrics, transforms,
+                  out_vars, batch_size):
+        """Run one eval batch. Partial tail batches are padded to the static
+        batch size (so the jitted step never recompiles) and the padding rows
+        sliced off again before metrics — no sample is ever dropped
+        (the reference's evaluate loop sees every sample too)."""
+        x, y = np.asarray(batch[0]), np.asarray(batch[1])
+        real = x.shape[0]
+        if real != batch_size:
+            reps = [1] * x.ndim
+            reps[0] = batch_size - real
+            x = np.concatenate([x, np.tile(x[-1:], reps)])
+            reps_y = [1] * y.ndim
+            reps_y[0] = batch_size - real
+            y = np.concatenate([y, np.tile(y[-1:], reps_y)])
+        xd, yd = self._put_batch(x, y)
+        with self.mesh:
+            yhat = eval_step(self.params, xd, yd)
+        if real != batch_size:
+            yhat = jnp.asarray(np.asarray(yhat)[:real])
+            yd = jnp.asarray(y[:real])
+        losses = evaluate_batch(yhat, yd, stage, loss_metrics, transforms,
+                                out_vars)
+        return losses, real
 
     def test(self, data_key: Optional[str] = None, max_batches: Optional[int] = None):
         """Evaluate the test split with the test losses + denormalize
@@ -335,19 +355,15 @@ class Trainer:
         for batch_idx, batch in enumerate(dm.test_dataloader()):
             if max_batches is not None and batch_idx >= max_batches:
                 break
-            x, y = batch[0], batch[1]
-            if x.shape[0] != dm.batch_size:
-                continue
-            x, y = self._put_batch(x, y)
-            with self.mesh:
-                yhat = eval_step(self.params, x, y)
-            losses = evaluate_batch(yhat, y, "test", self.test_losses,
-                                    self.test_transforms, out_vars)
+            losses, real = self._eval_one(eval_step, batch, "test",
+                                          self.test_losses,
+                                          self.test_transforms, out_vars,
+                                          dm.batch_size)
             for k, v in losses.items():
-                agg[k] = agg.get(k, 0.0) + float(v)
-            n += 1
+                agg[k] = agg.get(k, 0.0) + float(v) * real
+            n += real
         means = {k: v / max(1, n) for k, v in agg.items()}
-        self.metrics.log("test", data_key=data_key, batches=n, **means)
+        self.metrics.log("test", data_key=data_key, samples=n, **means)
         return means
 
     def _save(self, epoch: int):

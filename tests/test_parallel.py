@@ -191,3 +191,40 @@ def test_seq_flash_attention_grads_match():
             return jnp.sum(seq_flash_attention(a, a, a) ** 2)
         g = jax.jit(jax.grad(loss_sp))(q)
     np.testing.assert_allclose(np.asarray(g), g_ref, atol=5e-4, rtol=5e-4)
+
+
+def test_seq_dropout_decorrelated_across_shards():
+    """With attention dropout under seq parallelism, each shard folds its
+    axis index into the rng — identical per-shard inputs must yield
+    DIFFERENT outputs (r1 ADVICE: local q-block indices restart at 0 on
+    every shard, so an unfolded rng correlates the masks)."""
+    from orbit2_tpu.ops.seq_attention import seq_flash_attention
+
+    B, N, H, D = 2, 256, 2, 32
+    half = N // 2
+    rng = np.random.default_rng(2)
+
+    def doubled():
+        a = rng.normal(size=(B, half, H, D)).astype(np.float32)
+        return jnp.asarray(np.concatenate([a, a], axis=1))
+
+    q, k, v = doubled(), doubled(), doubled()
+    mesh = make_mesh(replica=2, fsdp=1, seq=2, tensor=2)
+    key = jax.random.PRNGKey(5)
+
+    with jax.set_mesh(mesh):
+        clean = jax.jit(lambda a, b, c: seq_flash_attention(a, b, c))(q, k, v)
+        drop = jax.jit(lambda a, b, c: seq_flash_attention(
+            a, b, c, dropout_rate=0.3, dropout_rng=key))(q, k, v)
+        drop2 = jax.jit(lambda a, b, c: seq_flash_attention(
+            a, b, c, dropout_rate=0.3, dropout_rng=key))(q, k, v)
+
+    clean = np.asarray(clean)
+    drop = np.asarray(drop)
+    # both shards saw identical q and the same gathered k/v: without dropout
+    # the two halves are bit-identical
+    np.testing.assert_array_equal(clean[:, :half], clean[:, half:])
+    # dropout masks must differ across shards (fold_in(axis_index))
+    assert np.abs(drop[:, :half] - drop[:, half:]).max() > 1e-3
+    # and stay deterministic for a fixed key
+    np.testing.assert_array_equal(drop, np.asarray(drop2))

@@ -1,0 +1,230 @@
+"""Whole-model forward parity against the ACTUAL torch reference
+Res_Slim_ViT (/root/reference/src/climate_learn/models/hub/res_slimvit.py).
+
+The reference runs here on CPU torch with a single-process gloo group and
+FusedAttn.NONE (its always-works SDPA path, attention.py:73-79). Its
+state_dict is exported to numpy, imported through
+`checkpoint.import_torch_state_dict`, and the two forwards must agree to
+fp32 tolerance — this retires the silent-architecture-mismatch risk that
+op-level parity tests (tests/test_torch_parity.py) cannot catch.
+
+The reference's unavailable heavy deps are shimmed with minimal equivalents
+(timm: trunc_normal_/DropPath/to_2tuple — inert in eval mode; xformers: never
+called on the NONE path). The climate_learn package skeleton is constructed
+manually so importing the model module does not pull the package __init__
+(which needs lpips/torchvision/sympy/torchmetrics).
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+import jax  # noqa: E402
+
+torch = pytest.importorskip("torch")
+
+REF_SRC = "/root/reference/src"
+
+DEFAULT_VARS = (
+    "land_sea_mask", "orography", "lattitude", "landcover",
+    "total_precipitation_24hr", "2m_temperature_min", "2m_temperature_max",
+)
+OUT_VARS = DEFAULT_VARS[4:]
+
+# small but non-trivial: multiple blocks, multiple heads, real decoder
+EMBED, DEPTH, DEC_DEPTH, HEADS, P, MAG = 64, 2, 2, 4, 2, 4
+IMG = (16, 32)
+RES = 625.0
+
+
+def _mod(name, **attrs):
+    m = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(m, k, v)
+    sys.modules[name] = m
+    return m
+
+
+def _install_shims():
+    if "timm" in sys.modules:
+        return
+
+    class DropPath(torch.nn.Module):
+        """timm.layers.DropPath: identity in eval mode (all we need)."""
+
+        def __init__(self, drop_prob=0.0, scale_by_keep=True):
+            super().__init__()
+            self.drop_prob = drop_prob
+            self.scale_by_keep = scale_by_keep
+
+        def forward(self, x):
+            if self.drop_prob == 0.0 or not self.training:
+                return x
+            keep = 1.0 - self.drop_prob
+            shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+            rnd = x.new_empty(shape).bernoulli_(keep)
+            if keep > 0.0 and self.scale_by_keep:
+                rnd.div_(keep)
+            return x * rnd
+
+    import collections.abc
+
+    def to_2tuple(x):  # timm._ntuple(2) semantics
+        if isinstance(x, collections.abc.Iterable) and not isinstance(x, str):
+            return tuple(x)
+        return (x, x)
+
+    class GlobalResponseNorm(torch.nn.Module):  # imported, never used
+        pass
+
+    timm = _mod("timm")
+    timm_models = _mod("timm.models")
+    _mod("timm.models.vision_transformer",
+         trunc_normal_=torch.nn.init.trunc_normal_)
+    layers = _mod("timm.layers", DropPath=DropPath)
+    _mod("timm.layers.helpers", to_2tuple=to_2tuple)
+    _mod("timm.layers.trace_utils", _assert=torch._assert)
+    _mod("timm.layers.grn", GlobalResponseNorm=GlobalResponseNorm)
+    timm.models = timm_models
+    timm.layers = layers
+
+    def _never(*a, **k):  # pragma: no cover - NONE path never calls xformers
+        raise RuntimeError("xformers shim called")
+
+    xf = _mod("xformers")
+    xf.ops = types.SimpleNamespace(memory_efficient_attention=_never,
+                                   MemoryEfficientAttentionCkOp=None)
+    comp = _mod("xformers.components")
+    attn = _mod("xformers.components.attention")
+    _mod("xformers.components.attention.core",
+         scaled_dot_product_attention=_never)
+    xf.components = comp
+    comp.attention = attn
+
+    # package skeletons: let only the model modules execute, not the
+    # package __init__ (which imports lpips/torchvision/sympy/...)
+    for name, path in [
+        ("climate_learn", f"{REF_SRC}/climate_learn"),
+        ("climate_learn.models", f"{REF_SRC}/climate_learn/models"),
+        ("climate_learn.models.hub", f"{REF_SRC}/climate_learn/models/hub"),
+        ("climate_learn.utils", f"{REF_SRC}/climate_learn/utils"),
+    ]:
+        if name not in sys.modules:
+            pkg = types.ModuleType(name)
+            pkg.__path__ = [path]
+            sys.modules[name] = pkg
+
+
+def _ensure_dist():
+    if not torch.distributed.is_initialized():
+        torch.distributed.init_process_group(
+            "gloo", init_method="tcp://127.0.0.1:29517", rank=0, world_size=1)
+
+
+@pytest.fixture(scope="module")
+def reference_model():
+    if not os.path.isdir(REF_SRC):
+        pytest.skip("reference source not available")
+    _install_shims()
+    _ensure_dist()
+    import importlib
+
+    rsv = importlib.import_module("climate_learn.models.hub.res_slimvit")
+    fused = importlib.import_module("climate_learn.utils.fused_attn")
+
+    torch.manual_seed(0)
+    model = rsv.Res_Slim_ViT(
+        default_vars=list(DEFAULT_VARS),
+        img_size=list(IMG),
+        in_channels=len(DEFAULT_VARS),
+        out_channels=len(OUT_VARS),
+        history=1,
+        superres_mag=MAG,
+        cnn_ratio=4,
+        patch_size=P,
+        drop_path=0.1,
+        drop_rate=0.1,
+        learn_pos_emb=True,
+        embed_dim=EMBED,
+        depth=DEPTH,
+        decoder_depth=DEC_DEPTH,
+        num_heads=HEADS,
+        mlp_ratio=4.0,
+        FusedAttn_option=fused.FusedAttn.NONE,
+    )
+    model.data_config(RES, list(IMG), len(DEFAULT_VARS), len(OUT_VARS))
+    model.eval()
+    return model
+
+
+def _flax_model():
+    from orbit2_tpu.models import ResSlimViT
+
+    return ResSlimViT(
+        default_vars=DEFAULT_VARS, img_size=IMG,
+        in_channels=len(DEFAULT_VARS), out_channels=len(OUT_VARS),
+        superres_mag=MAG, cnn_ratio=4, patch_size=P, embed_dim=EMBED,
+        depth=DEPTH, decoder_depth=DEC_DEPTH, num_heads=HEADS,
+        mlp_ratio=4.0, drop_path=0.1, drop_rate=0.1, learn_pos_emb=True,
+        spatial_resolution=RES, attention_impl="xla",
+    )
+
+
+def test_forward_parity_with_torch_reference(reference_model):
+    from orbit2_tpu.training.checkpoint import import_torch_state_dict
+
+    sd = {k: v.detach().cpu().numpy()
+          for k, v in reference_model.state_dict().items()}
+    params = import_torch_state_dict(sd, depth=DEPTH, decoder_depth=DEC_DEPTH)
+
+    rng = np.random.default_rng(42)
+    x = rng.normal(size=(2, len(DEFAULT_VARS)) + IMG).astype(np.float32)
+
+    with torch.no_grad():
+        want = reference_model(
+            torch.from_numpy(x), list(DEFAULT_VARS), list(OUT_VARS)).numpy()
+
+    model = _flax_model()
+    got = np.asarray(model.apply(
+        {"params": jax.tree.map(jnp.asarray, params)}, jnp.asarray(x),
+        DEFAULT_VARS, OUT_VARS, deterministic=True))
+
+    assert got.shape == want.shape == (2, len(OUT_VARS), IMG[0] * MAG, IMG[1] * MAG)
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_loss_parity_on_reference_output(reference_model):
+    """bayesian_tv of the imported-params flax forward vs the torch forward:
+    loss-level agreement (the metric itself is golden-tested elsewhere)."""
+    from orbit2_tpu.registry import METRICS_REGISTRY
+    import orbit2_tpu.metrics.metrics  # noqa: F401
+    from orbit2_tpu.training.checkpoint import import_torch_state_dict
+
+    sd = {k: v.detach().cpu().numpy()
+          for k, v in reference_model.state_dict().items()}
+    params = import_torch_state_dict(sd, depth=DEPTH, decoder_depth=DEC_DEPTH)
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(2, len(DEFAULT_VARS)) + IMG).astype(np.float32)
+    y = rng.normal(size=(2, len(OUT_VARS), IMG[0] * MAG, IMG[1] * MAG)
+                   ).astype(np.float32)
+
+    with torch.no_grad():
+        yhat_ref = reference_model(
+            torch.from_numpy(x), list(DEFAULT_VARS), list(OUT_VARS)).numpy()
+
+    model = _flax_model()
+    yhat = model.apply(
+        {"params": jax.tree.map(jnp.asarray, params)}, jnp.asarray(x),
+        DEFAULT_VARS, OUT_VARS, deterministic=True)
+
+    loss = METRICS_REGISTRY["bayesian_tv"](aggregate_only=True)
+    l_ref = float(loss(jnp.asarray(yhat_ref), jnp.asarray(y),
+                       var_names=list(OUT_VARS)))
+    l_got = float(loss(jnp.asarray(yhat), jnp.asarray(y),
+                       var_names=list(OUT_VARS)))
+    assert abs(l_ref - l_got) < 1e-4 * max(1.0, abs(l_ref))
