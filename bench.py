@@ -2,11 +2,12 @@
 available accelerator.
 
 Measures end-to-end jitted train steps (fwd + bayesian_tv loss + grad +
-adamw) at 117M scale (embed 1024, depth 8, heads 16 — reference
-configs/interm_117m.yaml:39-42) in bf16, and reports samples/sec/chip plus
-model FLOPs utilization. The reference repo publishes no numbers
-(BASELINE.md), so vs_baseline is measured against the self-defined north
-star of 45% MFU (BASELINE.json).
+adamw) in bf16 at TWO scales:
+  * 117M (embed 1024, depth 8, heads 16 — reference configs/interm_117m.yaml)
+  * 0.97B (embed 3072, depth 8, heads 24 — configs/interm_1b.yaml trunk),
+    batch 2 + full remat so fp32 master params + adam moments fit one chip.
+The reference repo publishes no numbers (BASELINE.md), so vs_baseline is
+measured against the self-defined north star of 45% MFU (BASELINE.json).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
@@ -59,26 +60,20 @@ def _backend_with_retry(attempts: int = 4, delay: float = 45.0) -> str:
     return "cpu"
 
 
-def main():
-    on_tpu = _backend_with_retry() == "tpu"
-    # 117M-scale trunk; tile-sized input 64x128 -> 2048 tokens at patch 2
-    if on_tpu:
-        embed, depth, heads, batch, img = 1024, 8, 16, 8, (64, 128)
-    else:  # CPU smoke fallback so the harness never hard-fails
-        embed, depth, heads, batch, img = 128, 2, 4, 2, (16, 32)
-
+def bench_scale(*, embed, depth, heads, batch, img, remat, dtype, iters,
+                decoder_depth=2):
+    """One measured config; returns (dt_seconds, n_params, loss)."""
     from orbit2_tpu.models import ResSlimViT
     from orbit2_tpu.registry import METRICS_REGISTRY
     import orbit2_tpu.metrics.metrics  # noqa: F401
     from orbit2_tpu.training.optim import make_optimizer
     from orbit2_tpu.training.train import make_train_step
 
-    dtype = jnp.bfloat16 if on_tpu else jnp.float32
     model = ResSlimViT(
         default_vars=DEFAULT_VARS, img_size=img, in_channels=7, out_channels=3,
         superres_mag=4, patch_size=2, embed_dim=embed, depth=depth,
-        decoder_depth=2, num_heads=heads, learn_pos_emb=True,
-        spatial_resolution=111.0, attention_impl="auto", remat=False,
+        decoder_depth=decoder_depth, num_heads=heads, learn_pos_emb=True,
+        spatial_resolution=111.0, attention_impl="auto", remat=remat,
         dtype=dtype, drop_rate=0.1, drop_path=0.1,
     )
     rng = np.random.default_rng(0)
@@ -101,33 +96,48 @@ def main():
         # NB: jax.block_until_ready is NOT sufficient on the axon TPU
         # tunnel (returns immediately); a device->host copy is.
         l = float(loss)
-        p = float(np.asarray(jax.tree.leaves(params)[0]).ravel()[0])
-        return l, p
+        float(np.asarray(jax.tree.leaves(params)[0]).ravel()[0])
+        return l
 
     key = jax.random.key(1, impl="rbg")  # fast bulk dropout bits on TPU
-    # warmup / compile
-    for _ in range(3):
+    for _ in range(3):  # warmup / compile
         key, sub = jax.random.split(key)
         params, opt_state, loss = step(params, opt_state, x, y, sub)
     sync(loss, params)
 
-    iters = 20 if on_tpu else 3
     t0 = time.perf_counter()
     for _ in range(iters):
         key, sub = jax.random.split(key)
         params, opt_state, loss = step(params, opt_state, x, y, sub)
-    sync(loss, params)
+    final_loss = sync(loss, params)
     dt = (time.perf_counter() - t0) / iters
+    # release device buffers before the next scale runs
+    del params, opt_state, x, y
+    return dt, n_params, final_loss
 
-    samples_per_sec = batch / dt
+
+def main():
+    on_tpu = _backend_with_retry() == "tpu"
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    peak = peak_tflops() * 1e12
+
+    # 117M-scale trunk; tile-sized input 64x128 -> 2048 tokens at patch 2
+    if on_tpu:
+        cfg117 = dict(embed=1024, depth=8, heads=16, batch=8, img=(64, 128),
+                      remat=False, iters=20)
+    else:  # CPU smoke fallback so the harness never hard-fails
+        cfg117 = dict(embed=128, depth=2, heads=4, batch=2, img=(16, 32),
+                      remat=False, iters=3)
+
+    dt, n_params, loss = bench_scale(dtype=dtype, **cfg117)
+    batch, img = cfg117["batch"], cfg117["img"]
     tokens = (img[0] // 2) * (img[1] // 2)
     # fwd+bwd ~ 6 * params * tokens per sample for the ViT trunk (BASELINE.md)
-    flops_per_step = 6.0 * n_params * tokens * batch
-    mfu = flops_per_step / dt / (peak_tflops() * 1e12)
+    mfu = 6.0 * n_params * tokens * batch / dt / peak
 
     result = {
         "metric": "train_samples_per_sec_per_chip_117m_bf16",
-        "value": round(samples_per_sec, 4),
+        "value": round(batch / dt, 4),
         "unit": "samples/s/chip",
         "vs_baseline": round(mfu / 0.45, 4),
         "mfu": round(mfu, 4),
@@ -137,11 +147,26 @@ def main():
         "backend": jax.default_backend(),
         "device": str(getattr(jax.devices()[0], "device_kind", "cpu")),
         "loss": float(loss),
-        # recorded on this chip by scripts/bench_1b.py (0.97B params, b2,
-        # full remat): kept here so the round record carries both scales
-        "recorded_1b_samples_per_sec": 6.8133,
-        "recorded_1b_mfu": 0.4122,
     }
+
+    if on_tpu:  # 0.97B single-chip (batch 2, full remat) — measured, not recorded
+        dt1b, n1b, loss1b = bench_scale(
+            embed=3072, depth=8, heads=24, batch=2, img=(64, 128),
+            remat=True, dtype=dtype, iters=10)
+        mfu1b = 6.0 * n1b * tokens * 2 / dt1b / peak
+        result.update({
+            "measured_1b_samples_per_sec": round(2 / dt1b, 4),
+            "measured_1b_mfu": round(mfu1b, 4),
+            "measured_1b_step_seconds": round(dt1b, 5),
+            "measured_1b_params_m": round(n1b / 1e6, 2),
+            "measured_1b_loss": float(loss1b),
+        })
+        # The north star (BASELINE.json) is "interm_1b ... at >45% MFU" —
+        # vs_baseline tracks the 1B measurement, the north-star config.
+        # (117M analytic-6NP MFU is attention-tax-bound at d=64: the
+        # uncredited attention FLOPs are ~40% of its step; docs/performance.md)
+        result["vs_baseline"] = round(mfu1b / 0.45, 4)
+
     print(json.dumps(result))
 
 

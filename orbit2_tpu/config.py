@@ -58,6 +58,9 @@ class ParallelismConfig:
     simple_ddp: int = 1
     tensor_par: int = 1
     seq_par: int = 1
+    # seq-parallel attention kernel: "gather" (KV all-gather, supports
+    # attention dropout) or "ring" (ppermute k/v chunks, O(N/seq) K/V memory)
+    seq_impl: str = "gather"
 
     @property
     def data_par(self) -> int:
@@ -71,6 +74,9 @@ class ParallelismConfig:
         for name in ("fsdp", "simple_ddp", "tensor_par", "seq_par"):
             if getattr(self, name) < 1:
                 raise ConfigError(f"parallelism.{name} must be >= 1")
+        if self.seq_impl not in ("gather", "ring"):
+            raise ConfigError(
+                f"parallelism.seq_impl must be gather|ring, got {self.seq_impl}")
 
 
 @dataclass

@@ -210,10 +210,19 @@ class IterDataModule:
 
     def setup(self, stage: Optional[str] = None):
         if stage != "test":
-            train_iter, rng = self._pipeline(
+            train_iter, _ = self._pipeline(
                 self.inp_lister_train, self.out_lister_train, shuffle=True, seed_offset=0
             )
-            self.data_train = ShuffleIterableDataset(train_iter, self.buffer_size, rng=rng)
+            # The buffer shuffle gets its OWN rng: the file-permutation rng
+            # (inside NpyReader) must advance identically on every data-par
+            # rank across epochs so the global file permutation stays
+            # consistent (disjoint shards); sharing one rng would entangle
+            # its state with per-rank sample counts. The buffer rng folds the
+            # rank in so within-shard orders decorrelate across hosts.
+            buffer_rng = random.Random(
+                (self.seed * 1000003) ^ (7919 * (self.data_par_rank + 1)))
+            self.data_train = ShuffleIterableDataset(
+                train_iter, self.buffer_size, rng=buffer_rng)
             self.data_val, _ = self._pipeline(
                 self.inp_lister_val, self.out_lister_val, shuffle=False, seed_offset=1
             )

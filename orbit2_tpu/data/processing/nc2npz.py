@@ -53,12 +53,21 @@ def nc2np(path, variables, years, save_dir, partition, num_shards_per_year,
 
     constants_path = os.path.join(path, "constants.nc")
     constants_values = {}
+    constants_stats = {}
     if os.path.exists(constants_path):
         constants = xr.open_mfdataset(constants_path, combine="by_coords")
         constant_fields = [v for v in CONSTANTS if v in NAME_TO_VAR and
                            NAME_TO_VAR[v] in constants]
         for f in constant_fields:
-            constants_values[f] = constants[NAME_TO_VAR[f]].to_numpy()
+            val = constants[NAME_TO_VAR[f]].to_numpy()
+            constants_values[f] = val
+            # constants MUST appear in normalize_mean/std.npz — the runtime
+            # get_normalize indexes them for every non-precip input variable
+            # (reference nc2npz.py:43-45)
+            constants_stats[f] = (
+                np.asarray([val.mean()], dtype=np.float32),
+                np.asarray([val.std()], dtype=np.float32),
+            )
 
     for year in years:
         np_vars: Dict[str, np.ndarray] = {}
@@ -72,12 +81,22 @@ def nc2np(path, variables, years, save_dir, partition, num_shards_per_year,
                 ds[code] = ds[code].expand_dims("val", axis=1)
                 arr = ds[code].to_numpy()
                 if var in PRECIP_VARIABLES:
-                    # accumulate precip over the window (reference :66-72)
-                    a = arr
-                    for h in range(1, precip_accum_hours):
-                        a = a + np.roll(arr, -h, axis=0)
-                    arr = a
-                np_vars[var] = arr.astype(np.float32)
+                    # trailing-window accumulation by cumsum difference (no
+                    # year-boundary wraparound), then the reference's
+                    # log(eps + tp) - log(eps) transform is BAKED INTO the
+                    # shards at preprocessing time (reference nc2npz.py:66-71)
+                    # — the runtime LogTransform (data/transforms.py) is for
+                    # raw-meter precip sources (prism/daymet), not for
+                    # nc2npz-produced ERA5 shards.
+                    tp_cum = np.cumsum(arr, axis=0)
+                    tp_cum[precip_accum_hours:] = (
+                        tp_cum[precip_accum_hours:]
+                        - tp_cum[:-precip_accum_hours])
+                    eps = 0.001
+                    arr = np.log(eps + tp_cum) - np.log(eps)
+                # trim leap years to the trailing HOURS_PER_YEAR steps
+                # (reference nc2npz.py:72-74)
+                np_vars[var] = arr.astype(np.float32)[-HOURS_PER_YEAR:]
                 _accumulate_stats(partition, var, np_vars[var],
                                   locals().get("normalize_mean"),
                                   locals().get("normalize_std"))
@@ -89,7 +108,8 @@ def nc2np(path, variables, years, save_dir, partition, num_shards_per_year,
                 for level in levels:
                     ds_level = ds.sel(level=[level])
                     key = f"{var}_{int(level)}"
-                    np_vars[key] = ds_level[code].to_numpy().astype(np.float32)
+                    np_vars[key] = ds_level[code].to_numpy().astype(
+                        np.float32)[-HOURS_PER_YEAR:]
                     _accumulate_stats(partition, key, np_vars[key],
                                       locals().get("normalize_mean"),
                                       locals().get("normalize_std"))
@@ -122,11 +142,16 @@ def nc2np(path, variables, years, save_dir, partition, num_shards_per_year,
             mean = means.mean(0)
             variance = (stds**2).mean(0) + (means**2).mean(0) - mean**2
             if var in PRECIP_VARIABLES:
+                # log-space precip is normalized to zero mean but keeps its
+                # measured std (reference nc2npz.py:151-153); the runtime
+                # LogTransform branch never reads these stats anyway
                 mean_out[var] = np.zeros_like(mean)
-                std_out[var] = np.ones_like(variance)
             else:
                 mean_out[var] = mean
-                std_out[var] = np.sqrt(variance)
+            std_out[var] = np.sqrt(variance)
+        for f, (m, s) in constants_stats.items():
+            mean_out[f] = m
+            std_out[f] = s
         np.savez(os.path.join(save_dir, "normalize_mean.npz"), **mean_out)
         np.savez(os.path.join(save_dir, "normalize_std.npz"), **std_out)
 

@@ -84,8 +84,9 @@ class LPIPS:
         f1 = self._features(target)
         total = 0.0
         for a, b, lin in zip(f0, f1, self.lins):
-            na = a / jnp.sqrt(jnp.sum(jnp.square(a), axis=-1, keepdims=True) + 1e-10)
-            nb = b / jnp.sqrt(jnp.sum(jnp.square(b), axis=-1, keepdims=True) + 1e-10)
+            # lpips.normalize_tensor: eps OUTSIDE the sqrt
+            na = a / (jnp.sqrt(jnp.sum(jnp.square(a), axis=-1, keepdims=True)) + 1e-10)
+            nb = b / (jnp.sqrt(jnp.sum(jnp.square(b), axis=-1, keepdims=True)) + 1e-10)
             diff = jnp.square(na - nb)  # [B, H, W, C]
             total = total + jnp.mean(jnp.sum(diff * lin, axis=-1), axis=(1, 2))
         return total  # [B]

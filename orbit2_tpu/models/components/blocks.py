@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from orbit2_tpu.ops.attention import dot_product_attention
+from orbit2_tpu.ops.dropout import dropout as fused_drop
 
 trunc_normal_init = nn.initializers.truncated_normal(stddev=0.02, lower=-2.0, upper=2.0)
 
@@ -78,12 +79,14 @@ class Mlp(nn.Module):
             param_dtype=self.param_dtype, kernel_init=trunc_normal_init, name="fc1",
         )(x)
         x = nn.gelu(x, approximate=False)
-        x = nn.Dropout(self.drop, deterministic=deterministic)(x)
+        x = fused_drop(x, self.drop, deterministic,
+                       lambda: self.make_rng("dropout"))
         x = nn.Dense(
             out_features, use_bias=self.use_bias, dtype=self.dtype,
             param_dtype=self.param_dtype, kernel_init=trunc_normal_init, name="fc2",
         )(x)
-        x = nn.Dropout(self.drop, deterministic=deterministic)(x)
+        x = fused_drop(x, self.drop, deterministic,
+                       lambda: self.make_rng("dropout"))
         return x
 
 
@@ -125,7 +128,8 @@ class Attention(nn.Module):
             self.dim, use_bias=self.proj_bias, dtype=self.dtype,
             param_dtype=self.param_dtype, kernel_init=trunc_normal_init, name="proj",
         )(x)
-        x = nn.Dropout(self.proj_drop, deterministic=deterministic)(x)
+        x = fused_drop(x, self.proj_drop, deterministic,
+                       lambda: self.make_rng("dropout"))
         return x
 
 
@@ -209,7 +213,8 @@ class VariableMappingAttention(nn.Module):
             self.dim, use_bias=self.proj_bias, dtype=self.dtype,
             param_dtype=self.param_dtype, kernel_init=trunc_normal_init, name="proj",
         )(out)
-        out = nn.Dropout(self.proj_drop, deterministic=deterministic)(out)
+        out = fused_drop(out, self.proj_drop, deterministic,
+                         lambda: self.make_rng("dropout"))
         return out
 
 

@@ -264,8 +264,10 @@ class ResSlimViT(nn.Module):
                                kernel_init=trunc_normal_init, name="spatial_embed")(res)
         tokens = tokens + spatial_emb[None, None, :]
 
-        tokens = nn.Dropout(self.drop_rate, deterministic=deterministic,
-                            name="pos_drop")(tokens)
+        from orbit2_tpu.ops.dropout import dropout as fused_drop
+
+        tokens = fused_drop(tokens, self.drop_rate, deterministic,
+                            lambda: self.make_rng("dropout"))
 
         # transformer trunk (reference :86-103, :291-292)
         dpr = np.linspace(0, self.drop_path, self.depth)

@@ -55,6 +55,8 @@ def dot_product_attention(
 
         if flash_supported(q, k, v):
             from orbit2_tpu.ops.seq_attention import (
+                batch_flash_attention,
+                data_mesh_active,
                 seq_flash_attention,
                 seq_mesh_active,
             )
@@ -65,13 +67,25 @@ def dot_product_attention(
                 return seq_flash_attention(q, k, v, sm_scale=scale,
                                            dropout_rate=dropout_rate,
                                            dropout_rng=dropout_rng)
-            # attention-prob dropout runs INSIDE the kernel (TPU PRNG) — the
-            # XLA fallback would materialize [B,H,N,N] probs + u32 masks,
-            # which the ablations showed dominates the whole train step
-            return flash_attention(q, k, v, sm_scale=scale,
-                                   dropout_rate=dropout_rate,
-                                   dropout_rng=dropout_rng)
-        impl = "xla"  # graceful fallback
+            if data_mesh_active():
+                # dp/fsdp/tp mesh without seq sharding: run the kernel
+                # per-device under shard_map (a bare pallas_call would be
+                # GSPMD-opaque and replicate the full activation)
+                out = batch_flash_attention(q, k, v, sm_scale=scale,
+                                            dropout_rate=dropout_rate,
+                                            dropout_rng=dropout_rng)
+                if out is not None:
+                    return out
+                impl = "xla"  # indivisible shapes: partitionable fallback
+            else:
+                # attention-prob dropout runs INSIDE the kernel (TPU PRNG) —
+                # the XLA fallback would materialize [B,H,N,N] probs + u32
+                # masks, which ablations showed dominates the train step
+                return flash_attention(q, k, v, sm_scale=scale,
+                                       dropout_rate=dropout_rate,
+                                       dropout_rng=dropout_rng)
+        else:
+            impl = "xla"  # graceful fallback
 
     if impl in ("xla", "naive"):
         return _sdpa(q, k, v, scale, dropout_rate, dropout_rng)

@@ -37,10 +37,83 @@ def seq_mesh_active() -> bool:
         return False
 
 
+def data_mesh_active() -> bool:
+    """True when ANY mesh axis is >1 (GSPMD context): a bare pallas_call
+    would be unpartitionable and force full gathers."""
+    try:
+        mesh = jax.sharding.get_abstract_mesh()
+        return mesh is not None and any(
+            int(s) > 1 for s in dict(mesh.shape).values())
+    except Exception:
+        return False
+
+
+def batch_flash_attention(q, k, v, sm_scale: Optional[float] = None,
+                          dropout_rate: float = 0.0, dropout_rng=None):
+    """Flash attention under a dp/fsdp/tp mesh WITHOUT a seq axis: shard_map
+    over the batch axes (and heads over tensor when divisible) so each device
+    runs the pallas kernel on its local shard — no collectives at all.
+    Returns None when shapes don't divide the mesh (caller falls back to the
+    GSPMD-partitionable XLA attention)."""
+    try:
+        from jax import shard_map
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+
+    from orbit2_tpu.parallel.mesh import AXIS_FSDP, AXIS_REPLICA, AXIS_TENSOR
+    from orbit2_tpu.ops.flash_attention import flash_attention
+
+    mesh = jax.sharding.get_abstract_mesh()
+    shape = dict(mesh.shape)
+    dp = shape.get(AXIS_REPLICA, 1) * shape.get(AXIS_FSDP, 1)
+    tp = shape.get(AXIS_TENSOR, 1)
+    if q.shape[0] % dp or (tp > 1 and q.shape[2] % tp):
+        return None
+    head_axis = AXIS_TENSOR if tp > 1 else None
+    spec = P(BATCH_AXES, None, head_axis, None)
+
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        @functools.partial(shard_map, mesh=mesh,
+                           in_specs=(spec, spec, spec, P()),
+                           out_specs=spec, check_vma=False)
+        def inner_drop(qb, kb, vb, rng):
+            # decorrelate masks across every sharded axis
+            for ax in (AXIS_REPLICA, AXIS_FSDP, AXIS_TENSOR):
+                if shape.get(ax, 1) > 1:
+                    rng = jax.random.fold_in(rng, jax.lax.axis_index(ax))
+            return flash_attention(qb, kb, vb, sm_scale=sm_scale,
+                                   dropout_rate=dropout_rate, dropout_rng=rng)
+
+        return inner_drop(q, k, v, dropout_rng)
+
+    @functools.partial(shard_map, mesh=mesh, in_specs=(spec, spec, spec),
+                       out_specs=spec, check_vma=False)
+    def inner(qb, kb, vb):
+        return flash_attention(qb, kb, vb, sm_scale=sm_scale)
+
+    return inner(q, k, v)
+
+
+_DEFAULT_IMPL = "gather"
+
+
+def set_seq_impl(impl: str) -> None:
+    """Select the seq-parallel attention kernel ("gather" | "ring");
+    set by the Trainer from config.parallelism.seq_impl."""
+    global _DEFAULT_IMPL
+    assert impl in ("gather", "ring"), impl
+    _DEFAULT_IMPL = impl
+
+
 def seq_flash_attention(q, k, v, sm_scale: Optional[float] = None,
-                        dropout_rate: float = 0.0, dropout_rng=None):
+                        dropout_rate: float = 0.0, dropout_rng=None,
+                        impl: Optional[str] = None):
     """q/k/v: [B, N, H, D] logically token-sharded over the seq axis.
-    Must be called inside a mesh context whose seq axis size divides N."""
+    Must be called inside a mesh context whose seq axis size divides N.
+
+    impl "gather" all-gathers k/v over the seq ring (supports attention
+    dropout); "ring" ppermutes k/v chunks (ops/ring_attention.py) keeping
+    K/V memory O(N/seq) — dropout falls back to gather."""
     try:
         from jax import shard_map  # jax >= 0.6
     except ImportError:  # pragma: no cover
@@ -48,11 +121,23 @@ def seq_flash_attention(q, k, v, sm_scale: Optional[float] = None,
 
     from orbit2_tpu.parallel.mesh import AXIS_TENSOR
 
+    impl = impl or _DEFAULT_IMPL
     mesh = jax.sharding.get_abstract_mesh()
     # heads ride the tensor axis (Megatron head split) when divisible
     tp = mesh.shape.get(AXIS_TENSOR, 1)
     head_axis = AXIS_TENSOR if (tp > 1 and q.shape[2] % tp == 0) else None
     spec = P(BATCH_AXES, AXIS_SEQ, head_axis, None)
+
+    if impl == "ring" and dropout_rate == 0.0:
+        from orbit2_tpu.ops.ring_attention import ring_flash_attention
+
+        @functools.partial(shard_map, mesh=mesh, in_specs=(spec, spec, spec),
+                           out_specs=spec, check_vma=False)
+        def inner_ring(qb, kb, vb):
+            return ring_flash_attention(qb, kb, vb, AXIS_SEQ,
+                                        sm_scale=sm_scale)
+
+        return inner_ring(q, k, v)
 
     # check_vma=False: the pallas_call's ShapeDtypeStruct outputs carry no
     # varying-mesh-axes annotation (jax 0.9 vma checking)

@@ -37,6 +37,10 @@ class Trainer:
         self.debug_grad_norms = debug_grad_norms
         self.keep_last_checkpoints = keep_last_checkpoints
         self.cfg = config.validate()
+        if self.cfg.parallelism.seq_par > 1:
+            from orbit2_tpu.ops.seq_attention import set_seq_impl
+
+            set_seq_impl(self.cfg.parallelism.seq_impl)
         self.mesh = mesh if mesh is not None else mesh_from_config(config.parallelism)
         self.checkpoint_dir = checkpoint_dir
         self.run_validation = run_validation

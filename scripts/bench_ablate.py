@@ -24,22 +24,24 @@ OUT_VARS = DEFAULT_VARS[4:]
 
 def run_case(name, *, drop=0.1, remat=True, attn="auto", dtype=jnp.bfloat16,
              embed=1024, depth=8, heads=16, batch=8, img=(64, 128), iters=10,
-             fwd_only=False, rng_impl=None):
+             fwd_only=False, rng_impl=None, remat_policy="full"):
     try:
         _run_case(name, drop=drop, remat=remat, attn=attn, dtype=dtype,
                   embed=embed, depth=depth, heads=heads, batch=batch, img=img,
-                  iters=iters, fwd_only=fwd_only, rng_impl=rng_impl)
+                  iters=iters, fwd_only=fwd_only, rng_impl=rng_impl,
+                  remat_policy=remat_policy)
     except Exception as e:
         print(f"{name:34s} FAILED: {type(e).__name__}: {str(e)[:120]}", flush=True)
 
 
 def _run_case(name, *, drop, remat, attn, dtype, embed, depth, heads, batch,
-              img, iters, fwd_only, rng_impl=None):
+              img, iters, fwd_only, rng_impl=None, remat_policy="full"):
     model = ResSlimViT(
         default_vars=DEFAULT_VARS, img_size=img, in_channels=7, out_channels=3,
         superres_mag=4, patch_size=2, embed_dim=embed, depth=depth,
         decoder_depth=2, num_heads=heads, learn_pos_emb=True,
         spatial_resolution=111.0, attention_impl=attn, remat=remat,
+        remat_policy=remat_policy,
         dtype=dtype, drop_rate=drop, drop_path=drop)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(batch, 7) + img), dtype=jnp.float32)

@@ -1,0 +1,9 @@
+"""Round-2 step decomposition at 117M with the new kernels."""
+import sys
+sys.path.insert(0, "/root/repo")
+from scripts.bench_ablate import run_case
+
+run_case("base remat-off drop0.1 rbg", remat=False, rng_impl="rbg")
+run_case("no dropout at all", remat=False, drop=0.0, rng_impl="rbg")
+run_case("attn=xla drop0.1", remat=False, attn="xla", rng_impl="rbg")
+run_case("fwd only (deterministic)", remat=False, fwd_only=True)

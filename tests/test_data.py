@@ -244,3 +244,102 @@ def test_batchloader_early_break_stops_producer(synth_dataset):
     time.sleep(0.5)
     after = threading.active_count()
     assert after <= before + 1
+
+
+def _many_shard_dataset(tmp_path, n_files=8, T=4, H=8, W=16, mag=2):
+    """A split with enough files that 4 data-par ranks get disjoint shards."""
+    rng = np.random.default_rng(7)
+    in_vars = ["a", "b"]
+    roots = {}
+    for name, h, w in (("low", H, W), ("high", H * mag, W * mag)):
+        root = tmp_path / name
+        d = root / "train"
+        d.mkdir(parents=True)
+        for i in range(n_files):
+            np.savez(d / f"s{i}.npz", **{
+                v: rng.normal(size=(T, 1, h, w)).astype(np.float32)
+                for v in in_vars})
+        np.savez(d / "climatology.npz", **{
+            v: np.zeros((1, h, w), np.float32) for v in in_vars})
+        np.save(root / "lat.npy", np.linspace(-80, 80, h).astype(np.float32))
+        np.save(root / "lon.npy", np.linspace(0, 350, w).astype(np.float32))
+        np.savez(root / "normalize_mean.npz",
+                 **{v: np.zeros(1, np.float32) for v in in_vars})
+        np.savez(root / "normalize_std.npz",
+                 **{v: np.ones(1, np.float32) for v in in_vars})
+        roots[name] = root
+    return roots, in_vars
+
+
+def test_multihost_shuffled_file_sharding_disjoint(tmp_path):
+    """With shuffle=True and the SAME seed on every rank (the trainer wires
+    config.trainer.seed identically to all processes), the global file
+    permutation is consistent: 4 ranks' shards stay disjoint and complete —
+    the equivalence contract vs the reference's global DistributedSampler
+    (reference dist/distdataset.py:180-192; see docs/multihost_data.md)."""
+    import glob as g
+    import random as pyrandom
+
+    roots, in_vars = _many_shard_dataset(tmp_path)
+    inp = sorted(g.glob(str(roots["low"] / "train" / "*.npz")))
+    out = sorted(g.glob(str(roots["high"] / "train" / "*.npz")))
+
+    per_rank = []
+    for rank in range(4):
+        r = NpyReader(inp, out, in_vars, in_vars, data_par_size=4,
+                      data_par_rank=rank, shuffle=True,
+                      rng=pyrandom.Random(42))
+        per_rank.append([p[0] for p in r._sharded_files()])
+    flat = [f for files in per_rank for f in files]
+    assert len(flat) == len(set(flat)) == 8  # disjoint AND complete
+    assert all(len(files) == 2 for files in per_rank)  # balanced
+
+
+def test_multihost_epoch_reshuffle_stays_consistent(tmp_path):
+    """Epoch 2 re-permutes files; all ranks must agree on the permutation
+    even after epoch 1 consumed per-rank buffer-shuffle randomness (the rng
+    is NOT shared with the buffer shuffle)."""
+    roots, in_vars = _many_shard_dataset(tmp_path)
+
+    def rank_files_by_epoch(rank, epochs=2):
+        dm = IterDataModule(
+            "downscaling", str(roots["low"]), str(roots["high"]), in_vars,
+            out_vars=in_vars, batch_size=2, buffer_size=4,
+            data_par_size=4, data_par_rank=rank,
+        )
+        dm.setup()
+        out = []
+        for _ in range(epochs):
+            # drain one epoch (advances all rngs as training would)
+            for _ in dm.train_dataloader():
+                pass
+            # ShuffleIterableDataset -> IndividualDataIter -> Downscale -> NpyReader
+            reader = dm.data_train.dataset.dataset.dataset
+            out.append(tuple(p[0] for p in reader._sharded_files()))
+        return out
+
+    per_rank = [rank_files_by_epoch(r) for r in range(4)]
+    for epoch in range(2):
+        flat = [f for r in range(4) for f in per_rank[r][epoch]]
+        assert len(flat) == len(set(flat)) == 8, f"epoch {epoch} diverged"
+
+
+def test_itermodule_multihost_disjoint_batches(tmp_path):
+    """IterDataModule at data_par_size=4: the sample streams of different
+    ranks are pairwise disjoint (checked by content hash)."""
+    roots, in_vars = _many_shard_dataset(tmp_path)
+    streams = []
+    for rank in range(4):
+        dm = IterDataModule(
+            "downscaling", str(roots["low"]), str(roots["high"]), in_vars,
+            out_vars=in_vars, batch_size=1, buffer_size=2,
+            data_par_size=4, data_par_rank=rank,
+        )
+        dm.setup()
+        sums = set()
+        for x, y, *_ in dm.train_dataloader():
+            sums.add(round(float(np.asarray(x).sum()), 4))
+        streams.append(sums)
+    for i in range(4):
+        for j in range(i + 1, 4):
+            assert not (streams[i] & streams[j]), (i, j)

@@ -228,3 +228,124 @@ def test_seq_dropout_decorrelated_across_shards():
     assert np.abs(drop[:, :half] - drop[:, half:]).max() > 1e-3
     # and stay deterministic for a fixed key
     np.testing.assert_array_equal(drop, np.asarray(drop2))
+
+
+def _ring_wrap(mesh, fn):
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    spec = P(None, "seq", None, None)
+    return shard_map(fn, mesh=mesh, in_specs=(spec, spec, spec),
+                     out_specs=spec, check_vma=False)
+
+
+@pytest.mark.parametrize("seq", [2, 4])
+def test_ring_attention_matches_unsharded(seq):
+    """ppermute ring attention == plain flash kernel (fwd), K/V memory
+    O(N/seq) per device."""
+    from orbit2_tpu.ops.flash_attention import flash_attention
+    from orbit2_tpu.ops.ring_attention import ring_flash_attention
+
+    B, N, H, D = 2, 512, 2, 32
+    rng = np.random.default_rng(3)
+    q, k, v = (jnp.asarray(rng.normal(size=(B, N, H, D)), jnp.float32)
+               for _ in range(3))
+    want = np.asarray(flash_attention(q, k, v))
+
+    mesh = make_mesh(replica=8 // seq, fsdp=1, seq=seq, tensor=1)
+    fn = _ring_wrap(mesh, lambda a, b, c: ring_flash_attention(a, b, c, "seq"))
+    with jax.set_mesh(mesh):
+        got = jax.jit(fn)(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), want, atol=3e-5, rtol=3e-5)
+
+
+def test_ring_attention_grads_match():
+    from orbit2_tpu.ops.flash_attention import flash_attention
+    from orbit2_tpu.ops.ring_attention import ring_flash_attention
+
+    B, N, H, D = 1, 512, 2, 32
+    rng = np.random.default_rng(4)
+    q = jnp.asarray(rng.normal(size=(B, N, H, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, N, H, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, N, H, D)), jnp.float32)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(flash_attention(q, k, v) ** 2)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+
+    mesh = make_mesh(replica=2, fsdp=1, seq=4, tensor=1)
+    inner = _ring_wrap(mesh, lambda a, b, c: ring_flash_attention(a, b, c, "seq"))
+
+    def loss_sp(q, k, v):
+        return jnp.sum(inner(q, k, v) ** 2)
+
+    with jax.set_mesh(mesh):
+        g = jax.jit(jax.grad(loss_sp, argnums=(0, 1, 2)))(q, k, v)
+    for a, b in zip(g, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=5e-4)
+
+
+def test_seq_flash_attention_ring_impl_matches_gather():
+    """The dispatcher's ring path == gather path == plain kernel."""
+    from orbit2_tpu.ops.flash_attention import flash_attention
+    from orbit2_tpu.ops.seq_attention import seq_flash_attention
+
+    B, N, H, D = 2, 256, 2, 32
+    rng = np.random.default_rng(6)
+    q, k, v = (jnp.asarray(rng.normal(size=(B, N, H, D)), jnp.float32)
+               for _ in range(3))
+    want = np.asarray(flash_attention(q, k, v))
+
+    mesh = make_mesh(replica=2, fsdp=1, seq=2, tensor=2)
+    with jax.set_mesh(mesh):
+        got = jax.jit(lambda a, b, c: seq_flash_attention(
+            a, b, c, impl="ring"))(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), want, atol=3e-5, rtol=3e-5)
+
+
+def test_batch_flash_attention_matches_unsharded():
+    """dp/fsdp/tp mesh WITHOUT a seq axis: the shard_map-per-device kernel
+    path must equal the plain kernel (a bare pallas_call would be
+    GSPMD-opaque and replicate)."""
+    from orbit2_tpu.ops.flash_attention import flash_attention
+    from orbit2_tpu.ops.seq_attention import batch_flash_attention
+
+    B, N, H, D = 4, 256, 2, 32
+    rng = np.random.default_rng(8)
+    q, k, v = (jnp.asarray(rng.normal(size=(B, N, H, D)), jnp.float32)
+               for _ in range(3))
+    want = np.asarray(flash_attention(q, k, v))
+
+    mesh = make_mesh(replica=2, fsdp=2, seq=1, tensor=2)
+    with jax.set_mesh(mesh):
+        got = jax.jit(lambda a, b, c: batch_flash_attention(a, b, c))(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5, rtol=2e-5)
+
+    # indivisible batch -> None (dispatcher falls back to XLA attention)
+    q3 = q[:3]
+    with jax.set_mesh(mesh):
+        assert batch_flash_attention(q3, k[:3], v[:3]) is None
+
+
+def test_batch_flash_attention_dropout_decorrelated():
+    from orbit2_tpu.ops.seq_attention import batch_flash_attention
+
+    B, N, H, D = 4, 256, 2, 32
+    rng = np.random.default_rng(9)
+    one = rng.normal(size=(1, N, H, D)).astype(np.float32)
+    q = jnp.asarray(np.repeat(one, B, axis=0))  # identical per-batch rows
+    k, v = q, q
+    key = jax.random.PRNGKey(2)
+
+    mesh = make_mesh(replica=2, fsdp=2, seq=1, tensor=2)
+    with jax.set_mesh(mesh):
+        drop = jax.jit(lambda a, b, c: batch_flash_attention(
+            a, b, c, dropout_rate=0.3, dropout_rng=key))(q, k, v)
+    drop = np.asarray(drop)
+    # batch rows live on different dp shards: masks must differ
+    assert np.abs(drop[0] - drop[2]).max() > 1e-3
