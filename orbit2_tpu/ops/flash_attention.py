@@ -500,6 +500,18 @@ def flash_attention(q, k, v, sm_scale: Optional[float] = None,
     while block_k > 128 and block_k > n_k:
         block_k //= 2
 
+    if dropout_rate > 0.0:
+        assert dropout_rng is not None, "dropout needs a PRNG key"
+        seed = jax.random.randint(dropout_rng, (1,), -2**31, 2**31 - 1,
+                                  dtype=jnp.int32)
+    else:
+        seed = jnp.zeros((1,), dtype=jnp.int32)
+
+    # NOTE (r2): a transpose-free 4D-BlockSpec variant was built and
+    # rejected by Mosaic on hardware — blocks would slice H (a tiled sublane
+    # dim of [B,N,H,D]) to width 1, violating the (8,128) last-two-dims
+    # tiling. The explicit transposes below are the layout change Mosaic
+    # needs either way (docs/performance.md).
     def to_bhnd(x):
         return x.transpose(0, 2, 1, 3).reshape(b * h, x.shape[1], d)
 
@@ -509,13 +521,6 @@ def flash_attention(q, k, v, sm_scale: Optional[float] = None,
     qf = _pad_to(qf, n_q_pad, 1)
     kf = _pad_to(kf, n_k_pad, 1)
     vf = _pad_to(vf, n_k_pad, 1)
-
-    if dropout_rate > 0.0:
-        assert dropout_rng is not None, "dropout needs a PRNG key"
-        seed = jax.random.randint(dropout_rng, (1,), -2**31, 2**31 - 1,
-                                  dtype=jnp.int32)
-    else:
-        seed = jnp.zeros((1,), dtype=jnp.int32)
 
     o = _flash_core(qf, kf, vf, seed, sm_scale, block_q, block_k, n_k,
                     float(dropout_rate), group)

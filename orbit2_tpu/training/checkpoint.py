@@ -249,3 +249,69 @@ def import_torch_state_dict(sd: Dict[str, np.ndarray], depth: int,
     p["path2_conv2"] = _torch_conv(sd, "path2.3")
 
     return jax.tree.map(np.asarray, p)
+
+
+def consolidate_torch_tp_shards(shards, num_heads: int):
+    """Merge the reference's per-TP-rank state_dicts (saved as
+    `interm_epoch_E.ckpt_rank_R` when tensor_par_size > 1,
+    reference examples/intermediate_downscaling.py:775-790) into ONE
+    full-model state_dict that `import_torch_state_dict` accepts.
+
+    Megatron split layout (reference attention.py:36-40, 122-129,
+    mlp.py:50-54):
+      column-parallel, head-structured rows:  attn.qkv -> (3, H/tp, dh, .),
+        var_agg.q -> (H/tp, dh, .), var_agg.kv -> (2, H/tp, dh, .)
+        -> concat shards along the head axis
+      column-parallel, plain rows: mlp.fc1 -> concat rows (axis 0)
+      row-parallel inputs: attn.proj / var_agg.proj / mlp.fc2 -> concat
+        input columns (axis 1)
+      row-parallel BIASES: every rank holds a full bias that is added BEFORE
+        the all-reduce SUM (attention.py:85, mlp.py:71) — the consolidated
+        bias is therefore the SUM over ranks.
+      everything else is replicated -> rank 0 wins.
+    """
+    import re as _re
+
+    tp = len(shards)
+    if tp == 1:
+        return dict(shards[0])
+    out = {}
+    for key, v0 in shards[0].items():
+        parts = [np.asarray(s[key]) for s in shards]
+        if _re.search(r"attn\.qkv\.weight$", key):
+            d_in = parts[0].shape[1]
+            merged = np.concatenate(
+                [p.reshape(3, num_heads // tp, -1, d_in) for p in parts],
+                axis=1).reshape(-1, d_in)
+        elif _re.search(r"attn\.qkv\.bias$", key):
+            merged = np.concatenate(
+                [p.reshape(3, num_heads // tp, -1) for p in parts],
+                axis=1).reshape(-1)
+        elif _re.search(r"var_agg\.kv\.weight$", key):
+            d_in = parts[0].shape[1]
+            merged = np.concatenate(
+                [p.reshape(2, num_heads // tp, -1, d_in) for p in parts],
+                axis=1).reshape(-1, d_in)
+        elif _re.search(r"var_agg\.kv\.bias$", key):
+            merged = np.concatenate(
+                [p.reshape(2, num_heads // tp, -1) for p in parts],
+                axis=1).reshape(-1)
+        elif _re.search(r"var_agg\.q\.weight$", key):
+            d_in = parts[0].shape[1]
+            merged = np.concatenate(
+                [p.reshape(num_heads // tp, -1, d_in) for p in parts],
+                axis=0).reshape(-1, d_in)
+        elif _re.search(r"var_agg\.q\.bias$", key):
+            merged = np.concatenate(
+                [p.reshape(num_heads // tp, -1) for p in parts],
+                axis=0).reshape(-1)
+        elif _re.search(r"mlp\.fc1\.(weight|bias)$", key):
+            merged = np.concatenate(parts, axis=0)
+        elif _re.search(r"(attn\.proj|var_agg\.proj|mlp\.fc2)\.weight$", key):
+            merged = np.concatenate(parts, axis=1)
+        elif _re.search(r"(attn\.proj|var_agg\.proj|mlp\.fc2)\.bias$", key):
+            merged = np.sum(parts, axis=0)
+        else:
+            merged = parts[0]
+        out[key] = merged
+    return out

@@ -181,3 +181,20 @@ def test_dropout_gradients_match_masked_reference():
     for a, bb in zip(g_flash, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
                                    atol=5e-4, rtol=5e-4)
+
+
+def test_multiblock_backward():
+    """dq/dkv stream multiple blocks (scratch accumulation): grads vs SDPA."""
+    q, k, v = make_qkv(b=1, n=512, h=2, d=32, seed=10)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, block_q=128, block_k=256) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(sdpa_ref(q, k, v) ** 2)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_flash, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=5e-4)

@@ -228,3 +228,77 @@ def test_loss_parity_on_reference_output(reference_model):
     l_got = float(loss(jnp.asarray(yhat), jnp.asarray(y),
                        var_names=list(OUT_VARS)))
     assert abs(l_ref - l_got) < 1e-4 * max(1.0, abs(l_ref))
+
+
+def _split_tp(sd, tp, num_heads):
+    """Split a full reference state_dict into per-TP-rank shards using the
+    reference's Megatron layout (the inverse of consolidate_torch_tp_shards).
+    Row-parallel biases are split additively (each rank bias/tp) since the
+    reference adds every rank's full bias before the all-reduce SUM."""
+    import re
+
+    shards = [dict() for _ in range(tp)]
+    for key, t in sd.items():
+        v = t.detach().cpu().numpy() if hasattr(t, "detach") else np.asarray(t)
+        for r in range(tp):
+            h0, h1 = r * num_heads // tp, (r + 1) * num_heads // tp
+            if re.search(r"attn\.qkv\.weight$", key):
+                w = v.reshape(3, num_heads, -1, v.shape[1])
+                shards[r][key] = w[:, h0:h1].reshape(-1, v.shape[1])
+            elif re.search(r"attn\.qkv\.bias$", key):
+                shards[r][key] = v.reshape(3, num_heads, -1)[:, h0:h1].reshape(-1)
+            elif re.search(r"var_agg\.kv\.weight$", key):
+                w = v.reshape(2, num_heads, -1, v.shape[1])
+                shards[r][key] = w[:, h0:h1].reshape(-1, v.shape[1])
+            elif re.search(r"var_agg\.kv\.bias$", key):
+                shards[r][key] = v.reshape(2, num_heads, -1)[:, h0:h1].reshape(-1)
+            elif re.search(r"var_agg\.q\.weight$", key):
+                w = v.reshape(num_heads, -1, v.shape[1])
+                shards[r][key] = w[h0:h1].reshape(-1, v.shape[1])
+            elif re.search(r"var_agg\.q\.bias$", key):
+                shards[r][key] = v.reshape(num_heads, -1)[h0:h1].reshape(-1)
+            elif re.search(r"mlp\.fc1\.(weight|bias)$", key):
+                n = v.shape[0] // tp
+                shards[r][key] = v[r * n:(r + 1) * n]
+            elif re.search(r"(attn\.proj|var_agg\.proj|mlp\.fc2)\.weight$", key):
+                n = v.shape[1] // tp
+                shards[r][key] = v[:, r * n:(r + 1) * n]
+            elif re.search(r"(attn\.proj|var_agg\.proj|mlp\.fc2)\.bias$", key):
+                shards[r][key] = v / tp
+            else:
+                shards[r][key] = v
+    return shards
+
+
+@pytest.mark.parametrize("tp", [2, 4])
+def test_tp_shard_consolidation_roundtrip(reference_model, tp):
+    """SURVEY hard-part #6: per-TP-rank reference checkpoints
+    (interm_epoch_E.ckpt_rank_R) consolidate back to the full state_dict,
+    and the consolidated import still matches the torch forward."""
+    from orbit2_tpu.training.checkpoint import (
+        consolidate_torch_tp_shards,
+        import_torch_state_dict,
+    )
+
+    sd = {k: v.detach().cpu().numpy()
+          for k, v in reference_model.state_dict().items()}
+    shards = _split_tp(sd, tp, HEADS)
+    merged = consolidate_torch_tp_shards(shards, num_heads=HEADS)
+
+    assert set(merged) == set(sd)
+    for k in sd:
+        np.testing.assert_allclose(merged[k], sd[k], rtol=1e-6, atol=1e-7,
+                                   err_msg=k)
+
+    # end-to-end: consolidated shards -> flax params -> forward parity
+    params = import_torch_state_dict(merged, depth=DEPTH,
+                                     decoder_depth=DEC_DEPTH)
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(1, len(DEFAULT_VARS)) + IMG).astype(np.float32)
+    with torch.no_grad():
+        want = reference_model(
+            torch.from_numpy(x), list(DEFAULT_VARS), list(OUT_VARS)).numpy()
+    got = np.asarray(_flax_model().apply(
+        {"params": jax.tree.map(jnp.asarray, params)}, jnp.asarray(x),
+        DEFAULT_VARS, OUT_VARS, deterministic=True))
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
