@@ -16,8 +16,6 @@ manually so importing the model module does not pull the package __init__
 """
 
 import os
-import sys
-import types
 
 import numpy as np
 import pytest
@@ -28,6 +26,11 @@ import jax  # noqa: E402
 torch = pytest.importorskip("torch")
 
 REF_SRC = "/root/reference/src"
+
+from orbit2_tpu.utils.torch_reference import (  # noqa: E402
+    load_reference_model,
+    reference_available,
+)
 
 DEFAULT_VARS = (
     "land_sea_mask", "orography", "lattitude", "landcover",
@@ -41,124 +44,17 @@ IMG = (16, 32)
 RES = 625.0
 
 
-def _mod(name, **attrs):
-    m = types.ModuleType(name)
-    for k, v in attrs.items():
-        setattr(m, k, v)
-    sys.modules[name] = m
-    return m
-
-
-def _install_shims():
-    if "timm" in sys.modules:
-        return
-
-    class DropPath(torch.nn.Module):
-        """timm.layers.DropPath: identity in eval mode (all we need)."""
-
-        def __init__(self, drop_prob=0.0, scale_by_keep=True):
-            super().__init__()
-            self.drop_prob = drop_prob
-            self.scale_by_keep = scale_by_keep
-
-        def forward(self, x):
-            if self.drop_prob == 0.0 or not self.training:
-                return x
-            keep = 1.0 - self.drop_prob
-            shape = (x.shape[0],) + (1,) * (x.ndim - 1)
-            rnd = x.new_empty(shape).bernoulli_(keep)
-            if keep > 0.0 and self.scale_by_keep:
-                rnd.div_(keep)
-            return x * rnd
-
-    import collections.abc
-
-    def to_2tuple(x):  # timm._ntuple(2) semantics
-        if isinstance(x, collections.abc.Iterable) and not isinstance(x, str):
-            return tuple(x)
-        return (x, x)
-
-    class GlobalResponseNorm(torch.nn.Module):  # imported, never used
-        pass
-
-    timm = _mod("timm")
-    timm_models = _mod("timm.models")
-    _mod("timm.models.vision_transformer",
-         trunc_normal_=torch.nn.init.trunc_normal_)
-    layers = _mod("timm.layers", DropPath=DropPath)
-    _mod("timm.layers.helpers", to_2tuple=to_2tuple)
-    _mod("timm.layers.trace_utils", _assert=torch._assert)
-    _mod("timm.layers.grn", GlobalResponseNorm=GlobalResponseNorm)
-    timm.models = timm_models
-    timm.layers = layers
-
-    def _never(*a, **k):  # pragma: no cover - NONE path never calls xformers
-        raise RuntimeError("xformers shim called")
-
-    xf = _mod("xformers")
-    xf.ops = types.SimpleNamespace(memory_efficient_attention=_never,
-                                   MemoryEfficientAttentionCkOp=None)
-    comp = _mod("xformers.components")
-    attn = _mod("xformers.components.attention")
-    _mod("xformers.components.attention.core",
-         scaled_dot_product_attention=_never)
-    xf.components = comp
-    comp.attention = attn
-
-    # package skeletons: let only the model modules execute, not the
-    # package __init__ (which imports lpips/torchvision/sympy/...)
-    for name, path in [
-        ("climate_learn", f"{REF_SRC}/climate_learn"),
-        ("climate_learn.models", f"{REF_SRC}/climate_learn/models"),
-        ("climate_learn.models.hub", f"{REF_SRC}/climate_learn/models/hub"),
-        ("climate_learn.utils", f"{REF_SRC}/climate_learn/utils"),
-    ]:
-        if name not in sys.modules:
-            pkg = types.ModuleType(name)
-            pkg.__path__ = [path]
-            sys.modules[name] = pkg
-
-
-def _ensure_dist():
-    if not torch.distributed.is_initialized():
-        torch.distributed.init_process_group(
-            "gloo", init_method="tcp://127.0.0.1:29517", rank=0, world_size=1)
-
-
 @pytest.fixture(scope="module")
 def reference_model():
-    if not os.path.isdir(REF_SRC):
-        pytest.skip("reference source not available")
-    _install_shims()
-    _ensure_dist()
-    import importlib
-
-    rsv = importlib.import_module("climate_learn.models.hub.res_slimvit")
-    fused = importlib.import_module("climate_learn.utils.fused_attn")
-
-    torch.manual_seed(0)
-    model = rsv.Res_Slim_ViT(
-        default_vars=list(DEFAULT_VARS),
-        img_size=list(IMG),
-        in_channels=len(DEFAULT_VARS),
-        out_channels=len(OUT_VARS),
-        history=1,
-        superres_mag=MAG,
-        cnn_ratio=4,
-        patch_size=P,
-        drop_path=0.1,
-        drop_rate=0.1,
-        learn_pos_emb=True,
-        embed_dim=EMBED,
-        depth=DEPTH,
-        decoder_depth=DEC_DEPTH,
-        num_heads=HEADS,
-        mlp_ratio=4.0,
-        FusedAttn_option=fused.FusedAttn.NONE,
-    )
-    model.data_config(RES, list(IMG), len(DEFAULT_VARS), len(OUT_VARS))
-    model.eval()
-    return model
+    if not reference_available(REF_SRC):
+        pytest.skip("reference source or torch not available")
+    return load_reference_model(
+        default_vars=DEFAULT_VARS, img_size=IMG,
+        in_channels=len(DEFAULT_VARS), out_channels=len(OUT_VARS),
+        spatial_resolution=RES, superres_mag=MAG, cnn_ratio=4, patch_size=P,
+        embed_dim=EMBED, depth=DEPTH, decoder_depth=DEC_DEPTH,
+        num_heads=HEADS, mlp_ratio=4.0, drop_path=0.1, drop_rate=0.1,
+        learn_pos_emb=True, ref_src=REF_SRC)
 
 
 def _flax_model():
@@ -302,3 +198,33 @@ def test_tp_shard_consolidation_roundtrip(reference_model, tp):
         {"params": jax.tree.map(jnp.asarray, params)}, jnp.asarray(x),
         DEFAULT_VARS, OUT_VARS, deterministic=True))
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_load_reference_state_dict_rank_discovery(tmp_path, reference_model):
+    """`.ckpt_rank_R` siblings are discovered and consolidated (the
+    reference's tensor-parallel save format,
+    examples/intermediate_downscaling.py:781)."""
+    from orbit2_tpu.utils.torch_reference import load_reference_state_dict
+
+    sd = {k: v.detach().cpu().numpy()
+          for k, v in reference_model.state_dict().items()}
+    shards = _split_tp(sd, 2, HEADS)
+    for r, shard in enumerate(shards):
+        torch.save({"model_state_dict":
+                    {k: torch.from_numpy(np.asarray(v))
+                     for k, v in shard.items()}},
+                   tmp_path / f"interm_epoch_3.ckpt_rank_{r}")
+
+    merged = load_reference_state_dict(
+        str(tmp_path / "interm_epoch_3.ckpt_rank_0"), num_heads=HEADS)
+    for k in sd:
+        np.testing.assert_allclose(merged[k], sd[k], rtol=1e-6, atol=1e-7,
+                                   err_msg=k)
+
+    # single-file (tp=1) path
+    torch.save({"model_state_dict":
+                {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}},
+               tmp_path / "single.ckpt")
+    single = load_reference_state_dict(str(tmp_path / "single.ckpt"),
+                                       num_heads=HEADS)
+    np.testing.assert_allclose(single["pos_embed"], sd["pos_embed"])
