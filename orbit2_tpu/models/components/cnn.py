@@ -43,6 +43,27 @@ class PeriodicConv2D(nn.Module):
         )(x)
 
 
+class PeriodicConvTranspose2D(nn.Module):
+    """Periodic pad then transposed conv (reference cnn_blocks.py:42-54 —
+    defined but unused on the reference's active path; kept for component
+    parity)."""
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    pad_width: int = 0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = periodic_pad_nhwc(x, self.pad_width)
+        return nn.ConvTranspose(
+            self.features, (self.kernel_size, self.kernel_size),
+            strides=(self.stride, self.stride), padding="VALID",
+            dtype=self.dtype,
+        )(x)
+
+
 def _activation(name: str):
     if name == "gelu":
         return lambda x: nn.gelu(x, approximate=False)

@@ -1,0 +1,77 @@
+"""Periodic conv components vs a torch oracle (reference
+models/hub/components/cnn_blocks.py:5-54): lon wrap-pad + lat zero-pad, then
+conv / transposed conv with padding=0."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+from orbit2_tpu.models.components.cnn import (  # noqa: E402
+    PeriodicConv2D,
+    PeriodicConvTranspose2D,
+    periodic_pad_nhwc,
+)
+
+
+def _torch_periodic_pad(x, pad):
+    # reference PeriodicPadding2D: wrap longitude (last dim), zero-pad lat
+    left = x[:, :, :, -pad:]
+    right = x[:, :, :, :pad]
+    x = torch.cat([left, x, right], dim=-1)
+    return torch.nn.functional.pad(x, (0, 0, pad, pad))
+
+
+def test_periodic_pad_matches_torch():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 3, 8, 16)).astype(np.float32)
+    want = _torch_periodic_pad(torch.from_numpy(x), 2).numpy()
+    got = periodic_pad_nhwc(jnp.asarray(x.transpose(0, 2, 3, 1)), 2)
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), want,
+                               rtol=1e-6)
+
+
+def test_periodic_conv2d_matches_torch():
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(2, 3, 8, 16)).astype(np.float32)
+    tconv = torch.nn.Conv2d(3, 5, kernel_size=3, stride=1, padding=0)
+    with torch.no_grad():
+        want = tconv(_torch_periodic_pad(torch.from_numpy(x), 1)).numpy()
+
+    m = PeriodicConv2D(features=5, kernel_size=3, pad_width=1)
+    params = m.init(jax.random.PRNGKey(0), jnp.asarray(x.transpose(0, 2, 3, 1)))
+    params = jax.tree.map(np.asarray, params)
+    params["params"]["Conv_0"]["kernel"] = (
+        tconv.weight.detach().numpy().transpose(2, 3, 1, 0))
+    params["params"]["Conv_0"]["bias"] = tconv.bias.detach().numpy()
+    got = m.apply(jax.tree.map(jnp.asarray, params),
+                  jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), want,
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_periodic_conv_transpose2d_matches_torch():
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(2, 3, 8, 16)).astype(np.float32)
+    tconv = torch.nn.ConvTranspose2d(3, 5, kernel_size=3, stride=1, padding=0)
+    with torch.no_grad():
+        want = tconv(_torch_periodic_pad(torch.from_numpy(x), 1)).numpy()
+
+    m = PeriodicConvTranspose2D(features=5, kernel_size=3, pad_width=1)
+    xn = jnp.asarray(x.transpose(0, 2, 3, 1))
+    params = m.init(jax.random.PRNGKey(0), xn)
+    params = jax.tree.map(np.asarray, params)
+    # torch ConvTranspose2d weight is (I, O, kh, kw); flax ConvTranspose
+    # kernel is (kh, kw, I, O) and correlates rather than convolves — flip
+    # the spatial taps to match torch's deconv placement
+    w = tconv.weight.detach().numpy().transpose(2, 3, 0, 1)
+    key = [k for k in params["params"] if "Conv" in k][0]
+    if params["params"][key]["kernel"].shape == w.shape:
+        params["params"][key]["kernel"] = w[::-1, ::-1].copy()
+    params["params"][key]["bias"] = tconv.bias.detach().numpy()
+    got = m.apply(jax.tree.map(jnp.asarray, params), xn)
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), want,
+                               rtol=1e-4, atol=1e-5)
