@@ -34,6 +34,11 @@ class TrainerConfig:
     train_loss: str = "bayesian_tv"
     remat: bool = True
     remat_policy: str = "full"  # full | dots (jax.checkpoint_policies)
+    # Adam first-moment storage dtype. bfloat16 halves mu's HBM footprint
+    # and cuts optimizer bandwidth (~5 ms/step at 1B, docs/performance.md);
+    # the second moment stays fp32 (the precision-critical one). Default
+    # fp32 = exact torch-AdamW parity.
+    adam_mu_dtype: str = "float32"
     seed: int = 0
     # epochs trained per dataset phase before rotating to the next data_key
     # (reference interval_epochs=1, intermediate_downscaling.py:490)
@@ -44,6 +49,9 @@ class TrainerConfig:
             raise ConfigError(f"data_type must be bfloat16|float32, got {self.data_type}")
         if self.remat_policy not in ("full", "dots"):
             raise ConfigError(f"remat_policy must be full|dots, got {self.remat_policy}")
+        if self.adam_mu_dtype not in ("float32", "bfloat16"):
+            raise ConfigError(
+                f"adam_mu_dtype must be float32|bfloat16, got {self.adam_mu_dtype}")
         if self.max_epochs <= 0 or self.batch_size <= 0:
             raise ConfigError("max_epochs and batch_size must be positive")
 

@@ -44,11 +44,15 @@ def make_optimizer(name: str, hyperparams: Dict[str, Any]) -> optax.GradientTran
     lr = float(hyperparams.get("lr", 1e-3))
     if name == "adamw":
         betas = hyperparams.get("betas", (0.9, 0.999))
-        return optax.inject_hyperparams(optax.adamw)(
+        # mu_dtype=bfloat16 (config trainer.adam_mu_dtype) halves the first
+        # moment's HBM footprint/bandwidth; nu stays fp32
+        return optax.inject_hyperparams(
+            optax.adamw, static_args=("mu_dtype",))(
             learning_rate=lr,
             b1=float(betas[0]),
             b2=float(betas[1]),
             weight_decay=float(hyperparams.get("weight_decay", 0.0)),
+            mu_dtype=hyperparams.get("mu_dtype"),
         )
     if name == "adam":
         betas = hyperparams.get("betas", (0.9, 0.999))

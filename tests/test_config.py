@@ -70,3 +70,12 @@ def test_tiling_defaults_off():
     assert cfg.tiling.effective_overlap == 0
     cfg2 = load_config(minimal(tiling={"do_tiling": True, "div": 4, "overlap": 3}))
     assert cfg2.tiling.effective_div == 4
+
+
+def test_adam_mu_dtype_validation():
+    from orbit2_tpu.config import ConfigError, load_config
+
+    cfg = load_config({"trainer": {"adam_mu_dtype": "bfloat16"}})
+    assert cfg.trainer.adam_mu_dtype == "bfloat16"
+    with pytest.raises(ConfigError):
+        load_config({"trainer": {"adam_mu_dtype": "fp8"}}).validate()

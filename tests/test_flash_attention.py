@@ -198,3 +198,19 @@ def test_multiblock_backward():
     for a, b in zip(g_flash, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-4, rtol=5e-4)
+
+
+def test_rectangular_nq_nk():
+    """n_q != n_k (cross-attention shapes): one-shot and streaming paths."""
+    rng = np.random.default_rng(11)
+
+    def mk(n, d=32):
+        return jnp.asarray(rng.normal(size=(2, n, 2, d)), jnp.float32)
+
+    for n_q, n_k, bk in ((128, 384, 384), (384, 128, 128), (256, 512, 128)):
+        q = mk(n_q)
+        k, v = mk(n_k), mk(n_k)
+        got = flash_attention(q, k, v, block_q=128, block_k=bk)
+        want = sdpa_ref(q, k, v)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=2e-5)
