@@ -168,6 +168,8 @@ def main():
         # (117M analytic-6NP MFU is attention-tax-bound at d=64: the
         # uncredited attention FLOPs are ~40% of its step; docs/performance.md)
         result["vs_baseline"] = round(mfu1b / 0.45, 4)
+        result["vs_baseline_basis"] = "measured_1b_mfu / 0.45 north-star MFU"
+        result["vs_baseline_117m"] = round(mfu / 0.45, 4)
 
     print(json.dumps(result))
 

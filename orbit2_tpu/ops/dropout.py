@@ -9,10 +9,10 @@ carries a mask residual into the backward graph (~270MB/site at the 117M
 training shapes), which round-1 ablations measured as the main
 non-attention overhead (docs/performance.md).
 
-Same design as the flash-attention in-kernel dropout
-(ops/flash_attention.py::_dropout_mult): hardware PRNG on TPU, murmur3-hash
-bits under the pallas interpreter so CPU tests exercise the identical
-fwd/bwd mask-consistency logic.
+Bit generation is shared with the flash-attention in-kernel dropout via
+ops/kernel_prng.py: hardware PRNG on TPU, murmur3-hash bits under the pallas
+interpreter so CPU tests exercise the identical fwd/bwd mask-consistency
+logic.
 """
 
 from __future__ import annotations
@@ -28,25 +28,12 @@ BLOCK_R = 512
 BLOCK_C = 1024
 
 
-def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
+from orbit2_tpu.ops.kernel_prng import interpret_mode as _interpret
+from orbit2_tpu.ops.kernel_prng import keep_mult
 
 
 def _mult(seed_ref, i, j, shape, rate):
-    keep = 1.0 - rate
-    block_seed = seed_ref[0] + i * 1000003 + j * 7919
-    if not _interpret():
-        pltpu.prng_seed(block_seed)
-        bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-    else:
-        row = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
-        col = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
-        x = (row * jnp.uint32(shape[1]) + col) ^ block_seed.astype(jnp.uint32)
-        x = (x ^ (x >> 16)) * jnp.uint32(0x85EBCA6B)
-        x = (x ^ (x >> 13)) * jnp.uint32(0xC2B2AE35)
-        bits = x ^ (x >> 16)
-    thresh = jnp.uint32(int(keep * 4294967295.0))
-    return jnp.where(bits <= thresh, 1.0 / keep, 0.0)
+    return keep_mult(seed_ref[0] + i * 1000003 + j * 7919, shape, rate)
 
 
 def _kernel(seed_ref, x_ref, o_ref, *, rate):
@@ -136,16 +123,9 @@ def _fused_ok() -> bool:
     on-TPU and not under a multi-device mesh (GSPMD cannot partition a
     pallas_call — it would gather the full activation onto every device;
     the mesh path keeps XLA dropout, which GSPMD shards perfectly)."""
-    if jax.default_backend() != "tpu":
-        return False
-    try:
-        mesh = jax.sharding.get_abstract_mesh()
-        if mesh is not None and any(
-                int(s) > 1 for s in dict(mesh.shape).values()):
-            return False
-    except Exception:
-        pass
-    return True
+    from orbit2_tpu.ops.seq_attention import data_mesh_active
+
+    return jax.default_backend() == "tpu" and not data_mesh_active()
 
 
 def dropout(x, rate: float, deterministic: bool, rng_fn):

@@ -92,26 +92,13 @@ def _dropout_mult(seed_ref, bh, i, kb, shape, drop_rate):
     kernels regenerate the identical mask (fwd grid (bh,i,kb); dkv grid maps
     (bh,j,qb) -> (bh, i=qb, kb=j)). `bh` is the FLAT batch*head index
     (group-packed kernels pass g*G+sub), so masks are invariant to G.
+    Bit generation is shared with the fused elementwise dropout
+    (ops/kernel_prng.py) — hardware PRNG on TPU, murmur3 hash under the
+    interpreter."""
+    from orbit2_tpu.ops.kernel_prng import keep_mult
 
-    On TPU the bits come from the hardware PRNG. The pallas interpreter stubs
-    prng_random_bits to zeros, so interpret mode derives the bits with a
-    murmur3-style hash over (seed, element index) in plain vector ops — a
-    different stream, but the SAME (seed, block-index) mapping, keeping the
-    fwd/bwd mask-regeneration consistency testable on the CPU mesh."""
-    keep = 1.0 - drop_rate
     block_seed = seed_ref[0] + bh * 1000003 + i * 7919 + kb
-    if not _interpret():
-        pltpu.prng_seed(block_seed)
-        bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-    else:
-        row = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
-        col = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
-        x = (row * jnp.uint32(shape[1]) + col) ^ block_seed.astype(jnp.uint32)
-        x = (x ^ (x >> 16)) * jnp.uint32(0x85EBCA6B)
-        x = (x ^ (x >> 13)) * jnp.uint32(0xC2B2AE35)
-        bits = x ^ (x >> 16)
-    thresh = jnp.uint32(int(keep * 4294967295.0))
-    return jnp.where(bits <= thresh, 1.0 / keep, 0.0).astype(jnp.float32)
+    return keep_mult(block_seed, shape, drop_rate)
 
 
 # ---- forward ----------------------------------------------------------------

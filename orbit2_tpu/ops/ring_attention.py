@@ -45,10 +45,21 @@ def _perm(axis_name):
     return [(i, (i + 1) % n) for i in range(n)]
 
 
+def _fit_block(n: int, cap: int) -> int:
+    """Largest multiple of 128 that divides n and is <= cap. The flash grids
+    floor-divide (n // block), so a block that does not divide n would
+    silently skip tail rows/tokens — block choice must be exact."""
+    b = min(cap, n)
+    b -= b % 128
+    while b > 128 and n % b:
+        b -= 128
+    return max(b, 128)
+
+
 def _chunk_fwd(q, k, v, sm_scale, block_q, block_k):
     seed = jnp.zeros((1,), jnp.int32)
-    bq = min(block_q, q.shape[1])
-    bk = min(block_k, k.shape[1])
+    bq = _fit_block(q.shape[1], block_q)
+    bk = _fit_block(k.shape[1], block_k)
     o, lse = _flash_fwd(q, k, v, seed, sm_scale, bq, bk, k.shape[1], 0.0)
     return o, lse
 
@@ -99,8 +110,8 @@ def _ring_core_bwd(axis_name, sm_scale, block_q, block_k, res, do):
     steps = jax.lax.axis_size(axis_name)
     perm = _perm(axis_name)
     seed = jnp.zeros((1,), jnp.int32)
-    bq = min(block_q, n_l)
-    bk = min(block_k, n_l)
+    bq = _fit_block(n_l, block_q)
+    bk = _fit_block(n_l, block_k)
 
     def body(_, carry):
         dq, k_cur, v_cur, dk_cur, dv_cur = carry

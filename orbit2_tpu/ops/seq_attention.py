@@ -63,6 +63,8 @@ def batch_flash_attention(q, k, v, sm_scale: Optional[float] = None,
     from orbit2_tpu.parallel.mesh import AXIS_FSDP, AXIS_REPLICA, AXIS_TENSOR
     from orbit2_tpu.ops.flash_attention import flash_attention
 
+    assert dropout_rate == 0.0 or dropout_rng is not None, \
+        "dropout needs a PRNG key"
     mesh = jax.sharding.get_abstract_mesh()
     shape = dict(mesh.shape)
     dp = shape.get(AXIS_REPLICA, 1) * shape.get(AXIS_FSDP, 1)
@@ -72,7 +74,7 @@ def batch_flash_attention(q, k, v, sm_scale: Optional[float] = None,
     head_axis = AXIS_TENSOR if tp > 1 else None
     spec = P(BATCH_AXES, None, head_axis, None)
 
-    if dropout_rate > 0.0 and dropout_rng is not None:
+    if dropout_rate > 0.0:
         @functools.partial(shard_map, mesh=mesh,
                            in_specs=(spec, spec, spec, P()),
                            out_specs=spec, check_vma=False)
@@ -121,6 +123,8 @@ def seq_flash_attention(q, k, v, sm_scale: Optional[float] = None,
 
     from orbit2_tpu.parallel.mesh import AXIS_TENSOR
 
+    assert dropout_rate == 0.0 or dropout_rng is not None, \
+        "dropout needs a PRNG key"
     impl = impl or _DEFAULT_IMPL
     mesh = jax.sharding.get_abstract_mesh()
     # heads ride the tensor axis (Megatron head split) when divisible
@@ -141,15 +145,22 @@ def seq_flash_attention(q, k, v, sm_scale: Optional[float] = None,
 
     # check_vma=False: the pallas_call's ShapeDtypeStruct outputs carry no
     # varying-mesh-axes annotation (jax 0.9 vma checking)
-    if dropout_rate > 0.0 and dropout_rng is not None:
-        # rng rides in_specs (replicated); each shard folds its seq index in
-        # so the kernel's per-q-block masks decorrelate across shards (local
-        # q-block indices restart at 0 on every shard).
+    if dropout_rate > 0.0:
+        from orbit2_tpu.parallel.mesh import AXIS_FSDP, AXIS_REPLICA
+
+        shape = dict(mesh.shape)
+
+        # rng rides in_specs (replicated); each shard folds EVERY sharded
+        # axis index in so masks decorrelate across seq shards (local
+        # q-block indices restart at 0), dp replicas (different samples),
+        # and tp head groups (local bh indices restart at 0).
         @functools.partial(shard_map, mesh=mesh,
                            in_specs=(spec, spec, spec, P()),
                            out_specs=spec, check_vma=False)
         def inner_drop(qb, kb, vb, rng):
-            rng = jax.random.fold_in(rng, jax.lax.axis_index(AXIS_SEQ))
+            for ax in (AXIS_REPLICA, AXIS_FSDP, AXIS_SEQ, AXIS_TENSOR):
+                if shape.get(ax, 1) > 1:
+                    rng = jax.random.fold_in(rng, jax.lax.axis_index(ax))
             k_full = jax.lax.all_gather(kb, AXIS_SEQ, axis=1, tiled=True)
             v_full = jax.lax.all_gather(vb, AXIS_SEQ, axis=1, tiled=True)
             return flash_attention(qb, k_full, v_full, sm_scale=sm_scale,

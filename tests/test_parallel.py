@@ -349,3 +349,45 @@ def test_batch_flash_attention_dropout_decorrelated():
     drop = np.asarray(drop)
     # batch rows live on different dp shards: masks must differ
     assert np.abs(drop[0] - drop[2]).max() > 1e-3
+
+
+def test_ring_attention_non_divisible_blocks():
+    """Block caps that do not divide N_local must not skip tail rows/tokens:
+    the flash grids floor-divide, so the ring has to pick blocks that divide
+    N_local exactly (r2 code-review finding — min() clamping left tail q
+    rows unwritten and tail kv tokens unattended). N_local=384 with cap 256
+    forces the fitted block to 128 (grid of 3)."""
+    from orbit2_tpu.ops.flash_attention import flash_attention
+    from orbit2_tpu.ops.ring_attention import _fit_block, ring_flash_attention
+
+    assert _fit_block(384, 256) == 128
+    assert _fit_block(2304, 1024) == 768
+    assert _fit_block(2176, 1024) == 128
+    assert _fit_block(2048, 2048) == 2048
+
+    B, N, H, D = 2, 768, 2, 32  # N_local = 384 per seq shard
+    rng = np.random.default_rng(12)
+    q, k, v = (jnp.asarray(rng.normal(size=(B, N, H, D)), jnp.float32)
+               for _ in range(3))
+    want = np.asarray(flash_attention(q, k, v))
+
+    mesh = make_mesh(replica=2, fsdp=1, seq=2, tensor=2)
+    fn = _ring_wrap(mesh, lambda a, b, c: ring_flash_attention(
+        a, b, c, "seq", block_q=256, block_k=256))
+    with jax.set_mesh(mesh):
+        got = jax.jit(fn)(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), want, atol=3e-5, rtol=3e-5)
+
+    # grads too (the bwd used the same min() clamping)
+    def loss_sp(q, k, v):
+        return jnp.sum(fn(q, k, v) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(flash_attention(q, k, v) ** 2)
+
+    with jax.set_mesh(mesh):
+        g = jax.jit(jax.grad(loss_sp, argnums=(0, 1, 2)))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=5e-4)
