@@ -52,14 +52,15 @@ def make_batch(rng, n):
     return jnp.asarray(x), jnp.asarray(y)
 
 
-def main():
+def main(drop=0.0):
+    print(f"== dropout {drop} ==", flush=True)
     rng = np.random.default_rng(0)
     model = ResSlimViT(
         default_vars=DEFAULT_VARS, img_size=(H, W), in_channels=5,
         out_channels=1, superres_mag=MAG, patch_size=2, embed_dim=256,
         depth=6, decoder_depth=4, num_heads=4, learn_pos_emb=True,
         spatial_resolution=111.0, attention_impl="auto",
-        dtype=jnp.bfloat16, drop_rate=0.0, drop_path=0.0)
+        dtype=jnp.bfloat16, drop_rate=drop, drop_path=drop)
     x0, y0 = make_batch(rng, B)
     params = model.init({"params": jax.random.PRNGKey(0)}, x0, DEFAULT_VARS,
                         OUT_VARS, deterministic=True)["params"]
@@ -102,4 +103,8 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    # --dropout: train through the full production stochastic path (pallas
+    # in-kernel attention dropout + fused elementwise dropout + drop-path)
+    main(drop=0.1 if "--dropout" in sys.argv else 0.0)
