@@ -124,10 +124,15 @@ def nc2np(path, variables, years, save_dir, partition, num_shards_per_year,
             ).astype(np.float32)
 
         # shard the year (reference :157)
+        # equal shard sizes are load-bearing: per-rank sample-count balance
+        # (docs/multihost_data.md) assumes them — mirror the reference's
+        # divisibility assert (reference nc2npz.py:155)
+        assert t % num_shards_per_year == 0, (
+            f"{t} hours per year must divide num_shards={num_shards_per_year}")
         per_shard = t // num_shards_per_year
         for shard_id in range(num_shards_per_year):
             lo = shard_id * per_shard
-            hi = t if shard_id == num_shards_per_year - 1 else lo + per_shard
+            hi = lo + per_shard
             np.savez(
                 os.path.join(save_dir, partition, f"{year}_{shard_id}.npz"),
                 **{k: v[lo:hi] for k, v in np_vars.items()},

@@ -296,16 +296,9 @@ def consolidate_torch_tp_shards(shards, num_heads: int):
             merged = np.concatenate(
                 [p.reshape(2, num_heads // tp, -1) for p in parts],
                 axis=1).reshape(-1)
-        elif _re.search(r"var_agg\.q\.weight$", key):
-            d_in = parts[0].shape[1]
-            merged = np.concatenate(
-                [p.reshape(num_heads // tp, -1, d_in) for p in parts],
-                axis=0).reshape(-1, d_in)
-        elif _re.search(r"var_agg\.q\.bias$", key):
-            merged = np.concatenate(
-                [p.reshape(num_heads // tp, -1) for p in parts],
-                axis=0).reshape(-1)
-        elif _re.search(r"mlp\.fc1\.(weight|bias)$", key):
+        elif _re.search(r"(var_agg\.q|mlp\.fc1)\.(weight|bias)$", key):
+            # column-parallel, non-interleaved rows (var_agg.q's head
+            # structure is contiguous, so this is a plain row concat)
             merged = np.concatenate(parts, axis=0)
         elif _re.search(r"(attn\.proj|var_agg\.proj|mlp\.fc2)\.weight$", key):
             merged = np.concatenate(parts, axis=1)

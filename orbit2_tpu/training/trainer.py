@@ -324,6 +324,12 @@ class Trainer:
         (the reference's evaluate loop sees every sample too)."""
         x, y = np.asarray(batch[0]), np.asarray(batch[1])
         real = x.shape[0]
+        if real != batch_size and jax.process_count() > 1:
+            # multi-process: the padded prediction is sharded across
+            # non-addressable devices, so the host-side slice below is
+            # impossible — skip the tail batch (the reference's behavior)
+            # rather than crash mid-epoch
+            return {}, 0
         if real != batch_size:
             reps = [1] * x.ndim
             reps[0] = batch_size - real

@@ -23,10 +23,11 @@ DEFAULT_REF_SRC = "/root/reference/src"
 
 
 def reference_available(ref_src: str = DEFAULT_REF_SRC) -> bool:
-    try:
-        import torch  # noqa: F401
-    except ImportError:
-        return False
+    import importlib.util
+
+    for mod in ("torch", "einops"):  # res_slimvit hard-imports einops too
+        if importlib.util.find_spec(mod) is None:
+            return False
     return os.path.isdir(ref_src)
 
 
@@ -41,8 +42,27 @@ def _mod(name, **attrs):
 def install_shims(ref_src: str = DEFAULT_REF_SRC) -> None:
     import torch
 
-    if "timm" in sys.modules:
-        return
+    # each shim family is guarded independently: a REAL timm import must not
+    # suppress the xformers shims or the climate_learn package skeleton
+    _install_timm(torch)
+    _install_xformers()
+    for name, path in [
+        ("climate_learn", f"{ref_src}/climate_learn"),
+        ("climate_learn.models", f"{ref_src}/climate_learn/models"),
+        ("climate_learn.models.hub", f"{ref_src}/climate_learn/models/hub"),
+        ("climate_learn.utils", f"{ref_src}/climate_learn/utils"),
+    ]:
+        if name not in sys.modules:
+            pkg = types.ModuleType(name)
+            pkg.__path__ = [path]
+            sys.modules[name] = pkg
+
+
+def _install_timm(torch) -> None:
+    import importlib.util
+
+    if "timm" in sys.modules or importlib.util.find_spec("timm") is not None:
+        return  # real timm (or our shim) already resolvable
 
     class DropPath(torch.nn.Module):
         """timm.layers.DropPath (identity in eval mode)."""
@@ -81,6 +101,14 @@ def install_shims(ref_src: str = DEFAULT_REF_SRC) -> None:
     _mod("timm.layers.trace_utils", _assert=torch._assert)
     _mod("timm.layers.grn", GlobalResponseNorm=GlobalResponseNorm)
 
+
+def _install_xformers() -> None:
+    import importlib.util
+
+    if ("xformers" in sys.modules
+            or importlib.util.find_spec("xformers") is not None):
+        return
+
     def _never(*a, **k):  # pragma: no cover — NONE path never calls xformers
         raise RuntimeError("xformers shim called")
 
@@ -92,24 +120,21 @@ def install_shims(ref_src: str = DEFAULT_REF_SRC) -> None:
     _mod("xformers.components.attention.core",
          scaled_dot_product_attention=_never)
 
-    for name, path in [
-        ("climate_learn", f"{ref_src}/climate_learn"),
-        ("climate_learn.models", f"{ref_src}/climate_learn/models"),
-        ("climate_learn.models.hub", f"{ref_src}/climate_learn/models/hub"),
-        ("climate_learn.utils", f"{ref_src}/climate_learn/utils"),
-    ]:
-        if name not in sys.modules:
-            pkg = types.ModuleType(name)
-            pkg.__path__ = [path]
-            sys.modules[name] = pkg
-
 
 def ensure_gloo() -> None:
+    import socket
+
     import torch
 
     if not torch.distributed.is_initialized():
+        # world_size=1: pick a free ephemeral port so concurrent parity
+        # harness processes on one host never collide
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
         torch.distributed.init_process_group(
-            "gloo", init_method="tcp://127.0.0.1:29517", rank=0, world_size=1)
+            "gloo", init_method=f"tcp://127.0.0.1:{port}", rank=0,
+            world_size=1)
 
 
 def load_reference_model(*, default_vars, img_size, in_channels, out_channels,
