@@ -43,6 +43,10 @@ class TrainerConfig:
     # epochs trained per dataset phase before rotating to the next data_key
     # (reference interval_epochs=1, intermediate_downscaling.py:490)
     interval_epochs: int = 1
+    # gradient accumulation: batch_size splits into grad_accum microbatches
+    # per optimizer update (reference trains interm_1b/10b at bs32 over
+    # 128-256 ranks; this reproduces the effective batch on small meshes)
+    grad_accum: int = 1
 
     def validate(self):
         if self.data_type not in ("bfloat16", "float32"):
@@ -54,6 +58,10 @@ class TrainerConfig:
                 f"adam_mu_dtype must be float32|bfloat16, got {self.adam_mu_dtype}")
         if self.max_epochs <= 0 or self.batch_size <= 0:
             raise ConfigError("max_epochs and batch_size must be positive")
+        if self.grad_accum < 1 or self.batch_size % self.grad_accum:
+            raise ConfigError(
+                f"grad_accum ({self.grad_accum}) must be >= 1 and divide "
+                f"batch_size ({self.batch_size})")
 
 
 @dataclass
@@ -67,7 +75,8 @@ class ParallelismConfig:
     tensor_par: int = 1
     seq_par: int = 1
     # seq-parallel attention kernel: "gather" (KV all-gather, supports
-    # attention dropout) or "ring" (ppermute k/v chunks, O(N/seq) K/V memory)
+    # attention dropout), "ring" (ppermute k/v chunks, O(N/seq) K/V memory),
+    # or "ulysses" (all-to-all tokens<->heads; needs heads % seq == 0)
     seq_impl: str = "gather"
 
     @property
@@ -82,9 +91,10 @@ class ParallelismConfig:
         for name in ("fsdp", "simple_ddp", "tensor_par", "seq_par"):
             if getattr(self, name) < 1:
                 raise ConfigError(f"parallelism.{name} must be >= 1")
-        if self.seq_impl not in ("gather", "ring"):
+        if self.seq_impl not in ("gather", "ring", "ulysses"):
             raise ConfigError(
-                f"parallelism.seq_impl must be gather|ring, got {self.seq_impl}")
+                "parallelism.seq_impl must be gather|ring|ulysses, "
+                f"got {self.seq_impl}")
 
 
 @dataclass

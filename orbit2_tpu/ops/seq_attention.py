@@ -3,11 +3,18 @@
 The GSPMD seq path (token-sharding constraints in the model) works with the
 XLA einsum attention but cannot partition a pallas_call — GSPMD would gather
 the full sequence onto every device before the kernel. This wrapper keeps
-the flash kernel AND the seq axis: q stays token-sharded, k/v are
-all-gathered over the `seq` ICI ring (DeepSpeed-Ulysses-style KV-gather SP),
-each device runs the kernel on its local q block against the full k/v, and
-shard_map's autodiff turns the gather into the matching reduce-scatter for
-dk/dv.
+the flash kernel AND the seq axis, with three interchangeable impls
+(config `parallelism.seq_impl`):
+
+  * "gather"  — q stays token-sharded, k/v all-gathered over the `seq` ICI
+    ring; shard_map autodiff turns the gather into the matching
+    reduce-scatter for dk/dv. Supports attention dropout.
+  * "ring"    — ops/ring_attention.py: k/v chunks ppermute around the ring,
+    K/V memory O(N/seq) per device.
+  * "ulysses" — DeepSpeed-Ulysses: all-to-all swaps the token shard for a
+    head shard, every device runs the kernel over the FULL sequence for
+    H/seq of its heads, then swaps back. 4 all-to-alls of local-shard size;
+    dropout-capable; needs local heads % seq == 0.
 
 Memory per device: O(N_local * N_full) scores never materialize (flash), and
 k/v are the only gathered tensors — 2 * N * H * D * 2 bytes, e.g. 4.3 GB for
@@ -97,13 +104,14 @@ def batch_flash_attention(q, k, v, sm_scale: Optional[float] = None,
 
 
 _DEFAULT_IMPL = "gather"
+SEQ_IMPLS = ("gather", "ring", "ulysses")
 
 
 def set_seq_impl(impl: str) -> None:
-    """Select the seq-parallel attention kernel ("gather" | "ring");
-    set by the Trainer from config.parallelism.seq_impl."""
+    """Select the seq-parallel attention kernel ("gather" | "ring" |
+    "ulysses"); set by the Trainer from config.parallelism.seq_impl."""
     global _DEFAULT_IMPL
-    assert impl in ("gather", "ring"), impl
+    assert impl in SEQ_IMPLS, impl
     _DEFAULT_IMPL = impl
 
 
@@ -115,7 +123,11 @@ def seq_flash_attention(q, k, v, sm_scale: Optional[float] = None,
 
     impl "gather" all-gathers k/v over the seq ring (supports attention
     dropout); "ring" ppermutes k/v chunks (ops/ring_attention.py) keeping
-    K/V memory O(N/seq) — dropout falls back to gather."""
+    K/V memory O(N/seq) — dropout falls back to gather; "ulysses"
+    (DeepSpeed-Ulysses) all-to-alls tokens<->heads so each device attends
+    the FULL sequence for H/seq of its local heads — comms are 4 all-to-alls
+    of the local shard (vs gather's (seq-1)x K/V broadcast), dropout
+    supported natively. Needs local heads divisible by the seq axis."""
     try:
         from jax import shard_map  # jax >= 0.6
     except ImportError:  # pragma: no cover
@@ -131,6 +143,52 @@ def seq_flash_attention(q, k, v, sm_scale: Optional[float] = None,
     tp = mesh.shape.get(AXIS_TENSOR, 1)
     head_axis = AXIS_TENSOR if (tp > 1 and q.shape[2] % tp == 0) else None
     spec = P(BATCH_AXES, AXIS_SEQ, head_axis, None)
+
+    if impl == "ulysses":
+        from orbit2_tpu.parallel.mesh import AXIS_FSDP, AXIS_REPLICA
+
+        shape = dict(mesh.shape)
+        s = shape[AXIS_SEQ]
+        h_loc = q.shape[2] // tp if head_axis is not None else q.shape[2]
+        if h_loc % s:
+            raise ValueError(
+                f"ulysses seq impl needs local heads ({h_loc}) divisible "
+                f"by the seq axis ({s}); use gather/ring instead")
+
+        def _a2a(t, split_axis, concat_axis):
+            return jax.lax.all_to_all(t, AXIS_SEQ, split_axis=split_axis,
+                                      concat_axis=concat_axis, tiled=True)
+
+        def _uly(qb, kb, vb, rng):
+            # [B, N/s, H_loc, D] -> [B, N, H_loc/s, D]: every device sees
+            # the full sequence for its head subset
+            qh, kh, vh = (_a2a(t, 2, 1) for t in (qb, kb, vb))
+            if rng is not None:
+                for ax in (AXIS_REPLICA, AXIS_FSDP, AXIS_SEQ, AXIS_TENSOR):
+                    if shape.get(ax, 1) > 1:
+                        rng = jax.random.fold_in(rng, jax.lax.axis_index(ax))
+                o = flash_attention(qh, kh, vh, sm_scale=sm_scale,
+                                    dropout_rate=dropout_rate,
+                                    dropout_rng=rng)
+            else:
+                o = flash_attention(qh, kh, vh, sm_scale=sm_scale)
+            return _a2a(o, 1, 2)  # back to token-sharded [B, N/s, H_loc, D]
+
+        if dropout_rate > 0.0:
+            @functools.partial(shard_map, mesh=mesh,
+                               in_specs=(spec, spec, spec, P()),
+                               out_specs=spec, check_vma=False)
+            def inner_uly_drop(qb, kb, vb, rng):
+                return _uly(qb, kb, vb, rng)
+
+            return inner_uly_drop(q, k, v, dropout_rng)
+
+        @functools.partial(shard_map, mesh=mesh, in_specs=(spec, spec, spec),
+                           out_specs=spec, check_vma=False)
+        def inner_uly(qb, kb, vb):
+            return _uly(qb, kb, vb, None)
+
+        return inner_uly(q, k, v)
 
     if impl == "ring" and dropout_rate == 0.0:
         from orbit2_tpu.ops.ring_attention import ring_flash_attention

@@ -59,31 +59,73 @@ def make_train_step(
     mesh=None,
     abstract_params=None,
     debug_grad_norms: bool = False,
+    grad_accum: int = 1,
 ):
     """Returns jitted step(params, opt_state, x, y, rng) -> (params, opt_state, loss).
 
     Equivalent of training_step + backward + optimizer.step (reference
     intermediate_downscaling.py:281-306, 715-742) as one compiled graph:
     forward, loss, grad, reduce, update all fuse and overlap under GSPMD.
+
+    grad_accum > 1 splits the batch into that many microbatches, scans the
+    fwd+bwd over them accumulating averaged grads/loss, then applies ONE
+    optimizer update — same effective batch with 1/grad_accum activation
+    memory (the reference reaches bs32 at 1B/10B only via 128-256 ranks).
     """
     in_variables = tuple(in_variables)
     out_variables = tuple(out_variables)
 
     def step(params, opt_state, x, y, rng):
-        def loss_fn(p):
+        def loss_fn(p, xb, yb, r):
             yhat = model.apply(
-                {"params": p}, x, in_variables, out_variables,
-                deterministic=False, rngs={"dropout": rng},
+                {"params": p}, xb, in_variables, out_variables,
+                deterministic=False, rngs={"dropout": r},
             )
             yhat = yhat.astype(jnp.float32)
-            yhat = clip_replace_constant(y, yhat, out_variables)
-            y_ = _crop_to_match(yhat, y)
+            yhat = clip_replace_constant(yb, yhat, out_variables)
+            y_ = _crop_to_match(yhat, yb)
             losses = train_loss_metric(
                 yhat, y_, var_names=list(out_variables), var_weights=var_weights
             )
             return losses if losses.ndim == 0 else losses[-1]
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+        if grad_accum > 1:
+            if x.shape[0] % grad_accum:
+                raise ValueError(
+                    f"batch {x.shape[0]} not divisible by grad_accum {grad_accum}")
+            mb = x.shape[0] // grad_accum
+            xs = x.reshape(grad_accum, mb, *x.shape[1:])
+            ys = y.reshape(grad_accum, mb, *y.shape[1:])
+
+            def body(carry, inp):
+                g_acc, l_acc, i = carry
+                xb, yb = inp
+                try:  # keep microbatches data-sharded under an active mesh
+                    from orbit2_tpu.parallel.mesh import BATCH_AXES
+
+                    am = jax.sharding.get_abstract_mesh()
+                    if am is not None and any(
+                            int(s) > 1 for s in dict(am.shape).values()):
+                        spec = jax.sharding.PartitionSpec(BATCH_AXES)
+                        xb = jax.lax.with_sharding_constraint(xb, spec)
+                        yb = jax.lax.with_sharding_constraint(yb, spec)
+                except Exception:
+                    pass
+                l, g = jax.value_and_grad(loss_fn)(
+                    params, xb, yb, jax.random.fold_in(rng, i))
+                g_acc = jax.tree.map(jnp.add, g_acc, g)
+                return (g_acc, l_acc + l, i + 1), None
+
+            zeros = jax.tree.map(jnp.zeros_like, params)
+            (g_sum, l_sum, _), _ = jax.lax.scan(
+                body,
+                (zeros, jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32)),
+                (xs, ys))
+            grads = jax.tree.map(lambda g: g / grad_accum, g_sum)
+            loss = l_sum / grad_accum
+        else:
+            loss, grads = jax.value_and_grad(
+                lambda p: loss_fn(p, x, y, rng))(params)
         if debug_grad_norms:
             from orbit2_tpu.training.debug import grad_inspect
 

@@ -245,6 +245,7 @@ class Trainer:
                         phase_model, self.train_loss, c.data.var_weights,
                         self.tx, in_vars, out_vars, mesh=self.mesh,
                         debug_grad_norms=self.debug_grad_norms,
+                        grad_accum=c.trainer.grad_accum,
                     )
                 train_step = steps[data_key]
 

@@ -391,3 +391,85 @@ def test_ring_attention_non_divisible_blocks():
     for a, b in zip(g, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-4, rtol=5e-4)
+
+
+def test_seq_flash_attention_ulysses_impl_matches_plain():
+    """The all-to-all (DeepSpeed-Ulysses) seq path == plain kernel: tokens
+    swap to heads over the seq axis, full-sequence flash per head subset,
+    swap back."""
+    from orbit2_tpu.ops.flash_attention import flash_attention
+    from orbit2_tpu.ops.seq_attention import seq_flash_attention
+
+    B, N, H, D = 2, 256, 4, 32
+    rng = np.random.default_rng(7)
+    q, k, v = (jnp.asarray(rng.normal(size=(B, N, H, D)), jnp.float32)
+               for _ in range(3))
+    want = np.asarray(flash_attention(q, k, v))
+
+    mesh = make_mesh(replica=2, fsdp=1, seq=2, tensor=2)
+    with jax.set_mesh(mesh):
+        got = jax.jit(lambda a, b, c: seq_flash_attention(
+            a, b, c, impl="ulysses"))(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), want, atol=3e-5, rtol=3e-5)
+
+
+def test_seq_flash_attention_ulysses_grads_match():
+    from orbit2_tpu.ops.flash_attention import flash_attention
+    from orbit2_tpu.ops.seq_attention import seq_flash_attention
+
+    B, N, H, D = 2, 512, 4, 32
+    rng = np.random.default_rng(8)
+    q = jnp.asarray(rng.normal(size=(B, N, H, D)), jnp.float32)
+
+    def loss_ref(a):
+        return jnp.sum(flash_attention(a, a, a) ** 2)
+
+    g_ref = np.asarray(jax.grad(loss_ref)(q))
+
+    mesh = make_mesh(replica=2, fsdp=1, seq=4, tensor=1)
+    with jax.set_mesh(mesh):
+        def loss_sp(a):
+            return jnp.sum(seq_flash_attention(a, a, a, impl="ulysses") ** 2)
+        g = jax.jit(jax.grad(loss_sp))(q)
+    np.testing.assert_allclose(np.asarray(g), g_ref, atol=5e-4, rtol=5e-4)
+
+
+def test_seq_flash_attention_ulysses_dropout():
+    """Ulysses supports attention dropout natively (each device holds the
+    full sequence for its head subset): deterministic per key, different
+    from the clean output."""
+    from orbit2_tpu.ops.seq_attention import seq_flash_attention
+
+    B, N, H, D = 2, 256, 4, 32
+    rng = np.random.default_rng(9)
+    q, k, v = (jnp.asarray(rng.normal(size=(B, N, H, D)), jnp.float32)
+               for _ in range(3))
+    key = jax.random.PRNGKey(11)
+
+    mesh = make_mesh(replica=1, fsdp=2, seq=2, tensor=2)
+    with jax.set_mesh(mesh):
+        clean = jax.jit(lambda a, b, c: seq_flash_attention(
+            a, b, c, impl="ulysses"))(q, k, v)
+        drop = jax.jit(lambda a, b, c: seq_flash_attention(
+            a, b, c, dropout_rate=0.3, dropout_rng=key,
+            impl="ulysses"))(q, k, v)
+        drop2 = jax.jit(lambda a, b, c: seq_flash_attention(
+            a, b, c, dropout_rate=0.3, dropout_rng=key,
+            impl="ulysses"))(q, k, v)
+
+    assert np.abs(np.asarray(drop) - np.asarray(clean)).max() > 1e-3
+    np.testing.assert_array_equal(np.asarray(drop), np.asarray(drop2))
+
+
+def test_seq_flash_attention_ulysses_head_divisibility():
+    """Local heads not divisible by the seq axis must raise, not silently
+    mis-shard (H=2 split over tensor=2 leaves 1 local head for seq=2)."""
+    from orbit2_tpu.ops.seq_attention import seq_flash_attention
+
+    B, N, H, D = 2, 256, 2, 32
+    q = jnp.zeros((B, N, H, D), jnp.float32)
+    mesh = make_mesh(replica=2, fsdp=1, seq=2, tensor=2)
+    with jax.set_mesh(mesh):
+        with pytest.raises(ValueError, match="ulysses"):
+            jax.jit(lambda a: seq_flash_attention(
+                a, a, a, impl="ulysses"))(q)

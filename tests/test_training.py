@@ -399,3 +399,45 @@ def test_eval_one_pads_and_slices_tail_batch():
     losses, real = Trainer._eval_one(fake, eval_step, (xf, yf, ["v"], ["v"]),
                                      "val", [mse], None, ["v"], batch_size)
     assert real == 4
+
+
+def test_grad_accum_matches_full_batch():
+    """grad_accum=2 must produce the same update as one full-batch step
+    (deterministic model: drop 0) — averaged microbatch grads == batch grad
+    because the loss is a batch mean."""
+    from orbit2_tpu.models import ResSlimViT
+
+    m = ResSlimViT(default_vars=DEFAULT_VARS, img_size=(8, 16), in_channels=7,
+                   out_channels=3, superres_mag=2, patch_size=2, embed_dim=32,
+                   depth=1, decoder_depth=1, num_heads=2, learn_pos_emb=True,
+                   drop_rate=0.0, drop_path=0.0)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(4, 7, 8, 16)), dtype=jnp.float32)
+    y = jnp.asarray(rng.normal(size=(4, 3, 16, 32)).clip(-2, 2), dtype=jnp.float32)
+    params = m.init({"params": jax.random.PRNGKey(0)}, x, DEFAULT_VARS,
+                    OUT_VARS)["params"]
+    loss_metric = METRICS_REGISTRY["bayesian_tv"](aggregate_only=True)
+    tx = make_optimizer("adamw", {"lr": 1e-3, "weight_decay": 0.0})
+    key = jax.random.PRNGKey(2)
+
+    results = []
+    for accum in (1, 2):
+        step = make_train_step(m, loss_metric, None, tx, DEFAULT_VARS,
+                               OUT_VARS, grad_accum=accum)
+        p, o, loss = step(jax.tree.map(jnp.copy, params), tx.init(params),
+                          x, y, key)
+        results.append((jax.tree.leaves(p), float(loss)))
+
+    (leaves1, loss1), (leaves2, loss2) = results
+    assert loss1 == pytest.approx(loss2, rel=1e-5)
+    for a, b in zip(leaves1, leaves2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_grad_accum_config_validation():
+    from orbit2_tpu.config import ConfigError, TrainerConfig
+
+    with pytest.raises(ConfigError, match="grad_accum"):
+        TrainerConfig(batch_size=4, grad_accum=3).validate()
+    TrainerConfig(batch_size=4, grad_accum=2).validate()
