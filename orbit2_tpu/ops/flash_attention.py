@@ -61,6 +61,17 @@ def flash_supported(q, k, v) -> bool:
     return n_q >= 128 and n_k >= 128
 
 
+def scale_block_for_head_dim(block: int, d: int) -> int:
+    """Block defaults were swept at head dim 64; per-program VMEM scales
+    ~linearly with d, so halve the block per d-doubling (10B-scale models
+    run d=256 — unscaled blocks blow the 16MB scoped vmem in the backward
+    kernels). Stays a multiple of 128."""
+    while d > 64 and block > 128:
+        d //= 2
+        block //= 2
+    return block
+
+
 def _pick_group(bh: int, block_k: int, n_k: int, d: int, group=None) -> int:
     """Largest G dividing B*H under a VMEM budget: k+v blocks are the
     footprint drivers at (G, BK, D) bf16 each, double-buffered."""
@@ -481,6 +492,8 @@ def flash_attention(q, k, v, sm_scale: Optional[float] = None,
     if block_q is None:
         block_q = (DEFAULT_BLOCK_Q_DROPOUT if dropout_rate > 0.0
                    else DEFAULT_BLOCK_Q)
+    block_q = scale_block_for_head_dim(block_q, d)
+    block_k = scale_block_for_head_dim(block_k, d)
     # blocks stay multiples of 128 (MXU/VPU lanes); shrink for short seqs
     while block_q > 128 and block_q > n_q:
         block_q //= 2

@@ -149,6 +149,10 @@ def ring_flash_attention(q, k, v, axis_name: str,
     if n_l % 128:
         raise ValueError(f"ring attention needs N_local % 128 == 0, got {n_l}")
     sm_scale = d**-0.5 if sm_scale is None else sm_scale
+    from orbit2_tpu.ops.flash_attention import scale_block_for_head_dim
+
+    block_q = scale_block_for_head_dim(block_q, d)
+    block_k = scale_block_for_head_dim(block_k, d)
 
     def to_bhnd(x):
         return x.transpose(0, 2, 1, 3).reshape(b * h, n_l, d)

@@ -214,3 +214,33 @@ def test_rectangular_nq_nk():
         want = sdpa_ref(q, k, v)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=2e-5, rtol=2e-5)
+
+
+def test_large_head_dim_fwd_and_grad():
+    """d=256 (10B-scale head dim): blocks auto-shrink per d-doubling so the
+    backward kernels fit scoped VMEM on hardware; numerics must still match
+    the SDPA reference."""
+    from orbit2_tpu.ops.flash_attention import scale_block_for_head_dim
+
+    assert scale_block_for_head_dim(1024, 256) == 256
+    assert scale_block_for_head_dim(2048, 256) == 512
+    assert scale_block_for_head_dim(1024, 64) == 1024
+    assert scale_block_for_head_dim(128, 512) == 128
+
+    q, k, v = make_qkv(n=256, b=1, h=2, d=256, seed=12)
+    got = flash_attention(q, k, v)
+    want = sdpa_ref(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-5, rtol=3e-5)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(sdpa_ref(q, k, v) ** 2)
+
+    g = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=5e-4)
