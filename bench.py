@@ -134,6 +134,11 @@ def main():
     tokens = (img[0] // 2) * (img[1] // 2)
     # fwd+bwd ~ 6 * params * tokens per sample for the ViT trunk (BASELINE.md)
     mfu = 6.0 * n_params * tokens * batch / dt / peak
+    # PaLM-style accounting also credits the attention matmuls
+    # (12 * depth * N^2 * D fwd+bwd) — at 2048 tokens/d=64 they are ~31% extra
+    # work the 6NP metric ignores (docs/performance.md "attention tax")
+    attn_flops = 12.0 * cfg117["depth"] * batch * tokens * tokens * cfg117["embed"]
+    mfu_attn = (6.0 * n_params * tokens * batch + attn_flops) / dt / peak
 
     result = {
         "metric": "train_samples_per_sec_per_chip_117m_bf16",
@@ -141,6 +146,7 @@ def main():
         "unit": "samples/s/chip",
         "vs_baseline": round(mfu / 0.45, 4),
         "mfu": round(mfu, 4),
+        "mfu_incl_attention": round(mfu_attn, 4),
         "step_seconds": round(dt, 5),
         "params_m": round(n_params / 1e6, 2),
         "tokens_per_sample": tokens,

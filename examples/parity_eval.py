@@ -37,11 +37,22 @@ def main():
                    help="no checkpoint: compare with the torch init weights")
     p.add_argument("--max-batches", type=int, default=8)
     p.add_argument("--data-key", default=None)
+    p.add_argument("--cpu", action="store_true",
+                   help="run the JAX side on CPU (the torch side always is)")
     args = p.parse_args()
 
     import torch
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        try:  # the axon plugin's chip claim can transiently fail
+            jax.devices()
+        except RuntimeError as e:
+            logging.warning("accelerator unavailable (%s); falling back to CPU", e)
+            jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from orbit2_tpu.config import load_config

@@ -308,3 +308,77 @@ def consolidate_torch_tp_shards(shards, num_heads: int):
             merged = parts[0]
         out[key] = merged
     return out
+
+
+def export_torch_state_dict(params: Dict[str, Any],
+                            patch_size: int) -> Dict[str, np.ndarray]:
+    """Inverse of `import_torch_state_dict`: emit this framework's ResSlimViT
+    params as a reference-layout Res_Slim_ViT state_dict (torch naming and
+    shape conventions, reference res_slimvit.py:60-122) so checkpoints
+    trained here load into the PyTorch reference. Round-trip covered in
+    tests/test_checkpoint_import.py."""
+    p = jax.tree.map(np.asarray, params)
+    sd: Dict[str, np.ndarray] = {}
+
+    def put_linear(key_dst: str, sub: dict):
+        sd[f"{key_dst}.weight"] = np.ascontiguousarray(sub["kernel"].T)
+        if "bias" in sub:
+            sd[f"{key_dst}.bias"] = sub["bias"]
+
+    def put_conv(key_dst: str, sub: dict):
+        # flax HWIO -> torch OIHW
+        sd[f"{key_dst}.weight"] = np.ascontiguousarray(
+            sub["kernel"].transpose(3, 2, 0, 1))
+        if "bias" in sub:
+            sd[f"{key_dst}.bias"] = sub["bias"]
+
+    def put_ln(key_dst: str, sub: dict):
+        sd[f"{key_dst}.weight"] = sub["scale"]
+        sd[f"{key_dst}.bias"] = sub["bias"]
+
+    # stacked [V, p*p, D] -> per-variable Conv2d(1, D, p, p) weights
+    tok_w, tok_b = p["token_embed_kernel"], p["token_embed_bias"]
+    d = tok_w.shape[-1]
+    for i in range(tok_w.shape[0]):
+        w = np.ascontiguousarray(tok_w[i].T)  # (D, p*p)
+        sd[f"token_embeds.{i}.proj.weight"] = w.reshape(
+            d, 1, patch_size, patch_size)
+        sd[f"token_embeds.{i}.proj.bias"] = tok_b[i]
+
+    sd["var_embed"] = p["var_embed"]
+    sd["var_query"] = p["var_query"]
+    sd["pos_embed"] = p["pos_embed"]
+    put_linear("spatial_embed", p["spatial_embed"])
+
+    va = p["var_agg"]
+    sd["var_agg.q.weight"] = np.ascontiguousarray(va["q_kernel"].T)
+    if "q_bias" in va:
+        sd["var_agg.q.bias"] = va["q_bias"]
+    sd["var_agg.kv.weight"] = np.ascontiguousarray(va["kv_kernel"].T)
+    if "kv_bias" in va:
+        sd["var_agg.kv.bias"] = va["kv_bias"]
+    put_linear("var_agg.proj", va["proj"])
+
+    b = 0
+    while f"blocks_{b}" in p:
+        blk = p[f"blocks_{b}"]
+        put_ln(f"blocks.{b}.norm1", blk["norm1"])
+        put_ln(f"blocks.{b}.norm2", blk["norm2"])
+        put_linear(f"blocks.{b}.attn.qkv", blk["attn"]["qkv"])
+        put_linear(f"blocks.{b}.attn.proj", blk["attn"]["proj"])
+        put_linear(f"blocks.{b}.mlp.fc1", blk["mlp"]["fc1"])
+        put_linear(f"blocks.{b}.mlp.fc2", blk["mlp"]["fc2"])
+        b += 1
+
+    put_ln("norm", p["norm"])
+
+    i = 0
+    while f"head_{i}" in p:
+        put_linear(f"head.{2 * i}", p[f"head_{i}"])
+        i += 1
+    put_linear(f"head.{2 * i}", p["head_out"])
+
+    put_conv("conv_out", p["conv_out"])
+    put_conv("path2.0", p["path2_conv1"])
+    put_conv("path2.3", p["path2_conv2"])
+    return sd

@@ -8,6 +8,11 @@ for BASELINE.md's metric, not peak MFU (that needs a v5p pod).
 Run: PYTHONPATH=/root/repo:$PYTHONPATH python scripts/bench_1b.py
 """
 
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
 import json
 import time
 

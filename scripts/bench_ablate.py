@@ -3,6 +3,11 @@
 Run on the real chip: python scripts/bench_ablate.py
 """
 
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
 import time
 
 import jax

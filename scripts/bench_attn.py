@@ -4,6 +4,11 @@ for fwd and fwd+bwd at the production shapes.
 Run alone (nothing else may hold the TPU): python scripts/bench_attn.py
 """
 
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
 import time
 
 import jax

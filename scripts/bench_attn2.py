@@ -4,6 +4,11 @@
 Run alone on the chip: PYTHONPATH=. python scripts/bench_attn2.py
 """
 
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
 import functools
 import time
 

@@ -3,6 +3,11 @@
 Run alone on the chip: PYTHONPATH=. python scripts/bench_attn3.py
 """
 
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
 import time
 
 import jax

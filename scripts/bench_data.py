@@ -7,6 +7,11 @@ beat re-reading + re-transforming.
 Run: PYTHONPATH=/root/repo:$PYTHONPATH python scripts/bench_data.py
 """
 
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
 import os
 import tempfile
 import time

@@ -7,6 +7,11 @@ just runs.
 PYTHONPATH=/root/repo:$PYTHONPATH python scripts/convergence_check.py
 """
 
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
 import time
 
 import jax

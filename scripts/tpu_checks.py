@@ -8,6 +8,11 @@ PYTHONPATH=/root/repo:$PYTHONPATH python scripts/tpu_checks.py
 3. full train-step timing with the optimized path (in-kernel dropout + rbg)
 """
 
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
 import time
 
 import jax

@@ -121,3 +121,38 @@ def test_pretrain_filtering_and_pos_embed_resize():
     np.testing.assert_allclose(
         np.asarray(merged["blocks_0"]["attn"]["qkv"]["kernel"]),
         np.asarray(pre["blocks_0"]["attn"]["qkv"]["kernel"]))
+
+
+def test_export_round_trips_through_import():
+    """export_torch_state_dict is the exact inverse of the importer: a real
+    model init exported to torch layout and re-imported must be bit-equal,
+    and the exported keys/shapes must match the reference state_dict
+    layout."""
+    from orbit2_tpu.training.checkpoint import export_torch_state_dict
+
+    model = make_model()
+    x = jnp.zeros((1, 7, 16, 32), jnp.float32)
+    params = model.init({"params": jax.random.PRNGKey(3)}, x, DEFAULT_VARS,
+                        OUT_VARS, deterministic=True)["params"]
+
+    sd = export_torch_state_dict(params, patch_size=P)
+
+    # layout check: exported keys/shapes == the reference-layout fixture
+    ref = fake_torch_state_dict(np.random.default_rng(0))
+    missing_bias = {k for k in ref if k not in sd}
+    # the model init may or may not include q/kv biases; everything else
+    # must match exactly
+    assert all("var_agg" in k and k.endswith("bias") for k in missing_bias), \
+        missing_bias
+    for k in sd:
+        assert k in ref or ("var_agg" in k and k.endswith("bias")), k
+        if k in ref:
+            assert sd[k].shape == ref[k].shape, (k, sd[k].shape, ref[k].shape)
+
+    back = import_torch_state_dict(sd, depth=DEPTH, decoder_depth=DEC)
+    flat_a = jax.tree_util.tree_leaves_with_path(params)
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(
+        jax.tree.map(jnp.asarray, back)))
+    for path, leaf in flat_a:
+        np.testing.assert_array_equal(np.asarray(leaf),
+                                      np.asarray(flat_b[path]), err_msg=str(path))

@@ -228,3 +228,38 @@ def test_load_reference_state_dict_rank_discovery(tmp_path, reference_model):
     single = load_reference_state_dict(str(tmp_path / "single.ckpt"),
                                        num_heads=HEADS)
     np.testing.assert_allclose(single["pos_embed"], sd["pos_embed"])
+
+
+def test_exported_checkpoint_loads_into_torch_reference(reference_model):
+    """The reverse interop: a flax-side param tree exported with
+    export_torch_state_dict must load_state_dict(strict=True) into the torch
+    reference and produce the same forward — models trained in this
+    framework are usable by reference users."""
+    from orbit2_tpu.training.checkpoint import export_torch_state_dict
+
+    model = _flax_model()
+    rng = np.random.default_rng(9)
+    x = rng.normal(size=(2, len(DEFAULT_VARS)) + IMG).astype(np.float32)
+    params = model.init({"params": jax.random.PRNGKey(4)}, jnp.asarray(x),
+                        DEFAULT_VARS, OUT_VARS, deterministic=True)["params"]
+
+    sd = export_torch_state_dict(params, patch_size=P)
+    ref_keys = set(reference_model.state_dict().keys())
+    exp_keys = set(sd.keys())
+    # the flax init has no q/kv biases when the reference uses qkv_bias=False
+    # either; any other asymmetry is a layout bug
+    assert exp_keys - ref_keys == set(), exp_keys - ref_keys
+    missing = ref_keys - exp_keys
+    assert all("var_agg" in k and k.endswith("bias") for k in missing), missing
+
+    reference_model.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+        strict=not missing)
+    with torch.no_grad():
+        want = reference_model(
+            torch.from_numpy(x), list(DEFAULT_VARS), list(OUT_VARS)).numpy()
+
+    got = np.asarray(model.apply(
+        {"params": params}, jnp.asarray(x), DEFAULT_VARS, OUT_VARS,
+        deterministic=True))
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
