@@ -60,6 +60,7 @@ def make_train_step(
     abstract_params=None,
     debug_grad_norms: bool = False,
     grad_accum: int = 1,
+    aux_collections: Sequence[str] = (),
 ):
     """Returns jitted step(params, opt_state, x, y, rng) -> (params, opt_state, loss).
 
@@ -71,9 +72,22 @@ def make_train_step(
     fwd+bwd over them accumulating averaged grads/loss, then applies ONE
     optimizer update — same effective batch with 1/grad_accum activation
     memory (the reference reaches bs32 at 1B/10B only via 128-256 ranks).
+
+    aux_collections: extra mutable variable collections the model carries
+    besides params — e.g. ("batch_stats",) for the BatchNorm-bearing
+    Unet/ResNet (reference cnn_blocks.py:90 nn.BatchNorm2d). When non-empty
+    the returned step has signature
+    step(params, aux, opt_state, x, y, rng) -> (params, aux, opt_state, loss)
+    where aux is the dict of those collections, updated each step.
     """
     in_variables = tuple(in_variables)
     out_variables = tuple(out_variables)
+    aux_collections = tuple(aux_collections)
+
+    if aux_collections:
+        return _make_train_step_aux(
+            model, train_loss_metric, var_weights, tx, in_variables,
+            out_variables, grad_accum, aux_collections)
 
     def step(params, opt_state, x, y, rng):
         def loss_fn(p, xb, yb, r):
@@ -140,11 +154,79 @@ def make_train_step(
     return jax.jit(step, donate_argnums=(0, 1))
 
 
-def make_eval_step(model, in_variables, out_variables, mesh=None):
+def _make_train_step_aux(model, train_loss_metric, var_weights, tx,
+                         in_variables, out_variables, grad_accum,
+                         aux_collections):
+    """make_train_step variant threading mutable non-param collections
+    (BatchNorm running stats) through the step."""
+
+    def loss_fn(p, a, xb, yb, r):
+        yhat, new_a = model.apply(
+            {"params": p, **a}, xb, in_variables, out_variables,
+            deterministic=False, rngs={"dropout": r},
+            mutable=list(aux_collections),
+        )
+        yhat = yhat.astype(jnp.float32)
+        yhat = clip_replace_constant(yb, yhat, out_variables)
+        y_ = _crop_to_match(yhat, yb)
+        losses = train_loss_metric(
+            yhat, y_, var_names=list(out_variables), var_weights=var_weights)
+        return (losses if losses.ndim == 0 else losses[-1]), new_a
+
+    def step(params, aux, opt_state, x, y, rng):
+        if grad_accum > 1:
+            if x.shape[0] % grad_accum:
+                raise ValueError(
+                    f"batch {x.shape[0]} not divisible by grad_accum {grad_accum}")
+            mb = x.shape[0] // grad_accum
+            xs = x.reshape(grad_accum, mb, *x.shape[1:])
+            ys = y.reshape(grad_accum, mb, *y.shape[1:])
+
+            def body(carry, inp):
+                g_acc, l_acc, a, i = carry
+                xb, yb = inp
+                (l, new_a), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                    params, a, xb, yb, jax.random.fold_in(rng, i))
+                return (jax.tree.map(jnp.add, g_acc, g), l_acc + l,
+                        new_a, i + 1), None
+
+            zeros = jax.tree.map(jnp.zeros_like, params)
+            (g_sum, l_sum, new_aux, _), _ = jax.lax.scan(
+                body,
+                (zeros, jnp.zeros((), jnp.float32), aux,
+                 jnp.zeros((), jnp.int32)),
+                (xs, ys))
+            grads = jax.tree.map(lambda g: g / grad_accum, g_sum)
+            loss = l_sum / grad_accum
+        else:
+            (loss, new_aux), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, aux, x, y, rng)
+        updates, new_opt_state = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        return new_params, new_aux, new_opt_state, loss
+
+    return jax.jit(step, donate_argnums=(0, 1, 2))
+
+
+def make_eval_step(model, in_variables, out_variables, mesh=None,
+                   aux_collections: Sequence[str] = ()):
     """Forward + clip (reference evaluate_func, intermediate_downscaling.py:
-    329-364, with target transforms applied host-side by `evaluate`)."""
+    329-364, with target transforms applied host-side by `evaluate`).
+    With aux_collections the step reads the extra collections (BatchNorm
+    running stats) and has signature step(params, aux, x, y)."""
     in_variables = tuple(in_variables)
     out_variables = tuple(out_variables)
+    aux_collections = tuple(aux_collections)
+
+    if aux_collections:
+        def step_aux(params, aux, x, y):
+            yhat = model.apply({"params": params, **aux}, x, in_variables,
+                               out_variables, deterministic=True)
+            yhat = yhat.astype(jnp.float32)
+            yhat = clip_replace_constant(y, yhat, out_variables)
+            return yhat
+
+        return jax.jit(step_aux)
 
     def step(params, x, y):
         yhat = model.apply({"params": params}, x, in_variables, out_variables,

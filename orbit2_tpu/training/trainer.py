@@ -47,6 +47,9 @@ class Trainer:
         self.metrics = MetricsLogger(metrics_path)
         self.model = None
         self.params = None
+        # extra mutable variable collections (BatchNorm running stats for the
+        # conv models); empty for ResSlimViT/ViT
+        self.aux: Dict[str, Any] = {}
         self.opt_state = None
         self.tx = None
         self.lr_schedule = None
@@ -143,7 +146,11 @@ class Trainer:
         return m
 
     def _init_params(self, phase_model, data_module):
-        """Initialize params directly sharded onto the mesh."""
+        """Initialize params directly sharded onto the mesh. Non-param
+        collections (BatchNorm batch_stats in the conv models) land in
+        self.aux, replicated (they are small and updated data-parallel)."""
+        from orbit2_tpu.parallel.mesh import replicated
+
         in_shape, _ = data_module.get_data_dims()
         in_vars, out_vars = data_module.get_data_variables()
         dummy = jnp.zeros((2,) + tuple(in_shape[1:]), dtype=jnp.float32)
@@ -153,14 +160,22 @@ class Trainer:
             return phase_model.init(
                 {"params": r}, dummy, tuple(in_vars), tuple(out_vars),
                 deterministic=True,
-            )["params"]
+            )
 
         abstract = jax.eval_shape(init_fn, rng)
-        shardings = param_shardings(abstract, self.mesh)
+        out_sh = {
+            k: (param_shardings(v, self.mesh) if k == "params"
+                else jax.tree.map(lambda _: replicated(self.mesh), v))
+            for k, v in abstract.items()
+        }
         with self.mesh:
-            params = jax.jit(init_fn, out_shardings=shardings)(rng)
+            variables = jax.jit(init_fn, out_shardings=out_sh)(rng)
+        params = variables["params"]
+        self.aux = {k: v for k, v in variables.items() if k != "params"}
         n = sum(int(np.prod(v.shape)) for v in jax.tree.leaves(params))
-        log.info("initialized %.2fM params on mesh %s", n / 1e6, dict(self.mesh.shape))
+        log.info("initialized %.2fM params on mesh %s%s", n / 1e6,
+                 dict(self.mesh.shape),
+                 f" (+aux: {sorted(self.aux)})" if self.aux else "")
         return params
 
     def _put_batch(self, x, y):
@@ -230,12 +245,17 @@ class Trainer:
                         self.opt_state = jax.jit(
                             self.tx.init, out_shardings=opt_sh)(self.params)
                     if resume_path and os.path.exists(resume_path):
-                        state = ckpt.restore_checkpoint(resume_path, {
+                        template = {
                             "params": self.params, "opt_state": self.opt_state,
                             "epoch": 0,
-                        })
+                        }
+                        if self.aux:
+                            template["aux"] = self.aux
+                        state = ckpt.restore_checkpoint(resume_path, template)
                         self.params = state["params"]
                         self.opt_state = state["opt_state"]
+                        if self.aux:
+                            self.aux = state["aux"]
                         epoch_start = int(state["epoch"]) + 1
                         log.info("resumed from %s at epoch %d", resume_path, epoch_start)
                     first_time = False
@@ -246,6 +266,7 @@ class Trainer:
                         self.tx, in_vars, out_vars, mesh=self.mesh,
                         debug_grad_norms=self.debug_grad_norms,
                         grad_accum=c.trainer.grad_accum,
+                        aux_collections=tuple(sorted(self.aux)),
                     )
                 train_step = steps[data_key]
 
@@ -272,8 +293,14 @@ class Trainer:
                             break
                         rng, step_rng = jax.random.split(rng)
                         with self.mesh:
-                            self.params, self.opt_state, loss = train_step(
-                                self.params, self.opt_state, x, y, step_rng)
+                            if self.aux:
+                                (self.params, self.aux, self.opt_state,
+                                 loss) = train_step(self.params, self.aux,
+                                                    self.opt_state, x, y,
+                                                    step_rng)
+                            else:
+                                self.params, self.opt_state, loss = train_step(
+                                    self.params, self.opt_state, x, y, step_rng)
                         epoch_loss += float(loss)
                         nbatches += 1
                     dt = time.perf_counter() - t0
@@ -302,7 +329,8 @@ class Trainer:
             self._eval_steps = {}
         if ekey not in self._eval_steps:
             self._eval_steps[ekey] = make_eval_step(
-                phase_model, in_vars, out_vars, mesh=self.mesh)
+                phase_model, in_vars, out_vars, mesh=self.mesh,
+                aux_collections=tuple(sorted(self.aux)))
         eval_step = self._eval_steps[ekey]
         agg: Dict[str, float] = {}
         n = 0
@@ -339,8 +367,12 @@ class Trainer:
             reps_y[0] = batch_size - real
             y = np.concatenate([y, np.tile(y[-1:], reps_y)])
         xd, yd = self._put_batch(x, y)
+        aux = getattr(self, "aux", None)
         with self.mesh:
-            yhat = eval_step(self.params, xd, yd)
+            if aux:
+                yhat = eval_step(self.params, aux, xd, yd)
+            else:
+                yhat = eval_step(self.params, xd, yd)
         if real != batch_size:
             yhat = jnp.asarray(np.asarray(yhat)[:real])
             yd = jnp.asarray(y[:real])
@@ -361,7 +393,9 @@ class Trainer:
         in_vars, out_vars = dm.get_data_variables()
         if self.params is None:
             self.params = self._init_params(phase_model, dm)
-        eval_step = make_eval_step(phase_model, in_vars, out_vars, mesh=self.mesh)
+        eval_step = make_eval_step(phase_model, in_vars, out_vars,
+                                   mesh=self.mesh,
+                                   aux_collections=tuple(sorted(self.aux)))
         agg: Dict[str, float] = {}
         n = 0
         for batch_idx, batch in enumerate(dm.test_dataloader()):
@@ -383,9 +417,12 @@ class Trainer:
         path = os.path.join(self.checkpoint_dir, f"epoch_{epoch}")
         # async: the Orbax write overlaps the next epoch's compute; pruning
         # keeps the newest keep_last_checkpoints (0 = keep all)
-        ckpt.save_checkpoint(path, {
+        state = {
             "params": self.params, "opt_state": self.opt_state, "epoch": epoch,
-        }, async_save=self.async_checkpoints)
+        }
+        if self.aux:
+            state["aux"] = self.aux
+        ckpt.save_checkpoint(path, state, async_save=self.async_checkpoints)
         if self.keep_last_checkpoints:
             ckpt.prune_checkpoints(self.checkpoint_dir, self.keep_last_checkpoints,
                                    current_epoch=epoch)

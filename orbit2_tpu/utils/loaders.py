@@ -162,12 +162,28 @@ class PreInterpolated:
         self.interpolation = interpolation
         self.backbone = backbone
 
-    def init(self, *args, **kwargs):
-        return self.backbone.init(*args, **kwargs)
+    def init(self, rngs, x, *args, **kwargs):
+        # the backbone only ever sees interpolated (target-grid) inputs —
+        # init must match apply or shape-dependent params (pos embeds) are
+        # created at the wrong resolution
+        return self.backbone.init(rngs, self.interpolation(x), *args, **kwargs)
 
     def apply(self, variables, x, *args, **kwargs):
         x = self.interpolation(x)
         return self.backbone.apply(variables, x, *args, **kwargs)
+
+    def for_phase(self, spatial_resolution=None, img_size=None,
+                  in_channels=None, out_channels=None):
+        """data_config equivalent for wrapped backbones. Conv backbones are
+        geometry-agnostic (return self); a backbone with its own for_phase
+        is rebound over the same params."""
+        bb = self.backbone
+        if hasattr(bb, "for_phase"):
+            bb = bb.for_phase(spatial_resolution=spatial_resolution,
+                              img_size=img_size, in_channels=in_channels,
+                              out_channels=out_channels)
+            return PreInterpolated(self.interpolation, bb)
+        return self
 
 
 def load_architecture(
@@ -251,6 +267,19 @@ def load_architecture(
                 mlp_ratio=mlp_ratio, drop_path=drop_path, drop_rate=drop_rate,
                 attention_impl=attention_impl, dtype=dtype,
             )
+            return PreInterpolated(
+                Interpolation(scale_factor=out_height / in_height, mode="bilinear"),
+                backbone,
+            )
+        if architecture in ("unet", "resnet"):
+            # The reference's fine-tune driver offers these presets
+            # (era5_daymet_downscaling.py:204) but its load_architecture
+            # rejects them (loaders.py:376-385) — here they work:
+            # interpolation-first like the vit path, BatchNorm running stats
+            # threaded through training via aux_collections.
+            cls = Unet if architecture == "unet" else ResNet
+            backbone = cls(in_channels=in_channels, out_channels=out_channels,
+                           history=1, dropout=drop_rate, dtype=dtype)
             return PreInterpolated(
                 Interpolation(scale_factor=out_height / in_height, mode="bilinear"),
                 backbone,

@@ -117,3 +117,28 @@ def test_forecasting_architectures(synth_dataset):
 
     with pytest.raises(NotImplementedError):
         cl.load_architecture("forecasting", dm, "nope")
+
+
+@pytest.mark.parametrize("arch", ["unet", "vit"])
+def test_conv_and_vit_downscaling_presets_forward(dm, synth_dataset, arch):
+    """unet/vit downscaling presets build as interpolation-first wrappers and
+    run a full init+forward at the TARGET grid (PreInterpolated.init must
+    interpolate before backbone init, or shape-dependent params like the vit
+    pos-embed are created at the input grid). The reference's fine-tune
+    driver offers unet (era5_daymet_downscaling.py:204) but its
+    load_architecture rejects it — here it works."""
+    import jax
+    import jax.numpy as jnp
+
+    ds = synth_dataset
+    model = cl.load_architecture(
+        "downscaling", dm, arch, default_vars=ds["in_vars"], patch_size=2,
+        embed_dim=32, depth=1, decoder_depth=1, num_heads=2)
+    x = jnp.zeros((2, len(ds["in_vars"]), ds["H"], ds["W"]), jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x,
+                           tuple(ds["in_vars"]), tuple(ds["out_vars"]),
+                           deterministic=True)
+    y = model.apply(variables, x, tuple(ds["in_vars"]), tuple(ds["out_vars"]),
+                    deterministic=True)
+    mag = ds["mag"]
+    assert y.shape == (2, len(ds["out_vars"]), ds["H"] * mag, ds["W"] * mag)

@@ -441,3 +441,43 @@ def test_grad_accum_config_validation():
     with pytest.raises(ConfigError, match="grad_accum"):
         TrainerConfig(batch_size=4, grad_accum=3).validate()
     TrainerConfig(batch_size=4, grad_accum=2).validate()
+
+
+def test_trainer_resnet_preset_with_batch_stats(synth_dataset, tmp_path):
+    """BatchNorm-bearing conv presets train through the Trainer: batch_stats
+    thread through the step (aux_collections), update each step, checkpoint,
+    and drive eval. The reference's fine-tune driver offers resnet/unet but
+    its own load_architecture rejects them — here the path works."""
+    from orbit2_tpu.training.trainer import Trainer
+
+    ds = synth_dataset
+    cfg = load_config({
+        "trainer": {"max_epochs": 1, "batch_size": 4, "buffer_size": 8,
+                    "num_workers": 0, "data_type": "float32",
+                    "train_loss": "mse", "remat": False},
+        "parallelism": {"fsdp": 1, "simple_ddp": 2},
+        "tiling": {"do_tiling": False},
+        "model": {"preset": "resnet", "lr": 1e-3, "warmup_epochs": 1,
+                  "superres_mag": 4, "drop_rate": 0.1},
+        "data": {
+            "low_res_dir": {"SYNTH": ds["low"]},
+            "high_res_dir": {"SYNTH": ds["high"]},
+            "spatial_resolution": {"SYNTH": 625},
+            "default_vars": list(ds["in_vars"]),
+            "dict_in_variables": {"SYNTH": list(ds["in_vars"])},
+            "dict_out_variables": {"SYNTH": list(ds["out_vars"])},
+        },
+    })
+    t = Trainer(cfg, checkpoint_dir=str(tmp_path / "ck"))
+    hist = t.fit(max_epochs=1, max_steps_per_epoch=2)
+    assert hist and all(np.isfinite(h["loss"]) for h in hist)
+    assert "batch_stats" in t.aux
+    stats = jax.tree.leaves(t.aux["batch_stats"])
+    assert stats and any(float(jnp.abs(s).sum()) > 0 for s in stats), \
+        "running stats never updated"
+
+    # resume picks the aux state back up
+    t2 = Trainer(cfg, checkpoint_dir=str(tmp_path / "ck"))
+    h2 = t2.fit(max_epochs=2, max_steps_per_epoch=1)
+    assert h2 and h2[0]["epoch"] == 1
+    assert "batch_stats" in t2.aux
