@@ -234,8 +234,24 @@ class Trainer:
                         # pre-seeded params (fine-tune import): place on mesh
                         from orbit2_tpu.parallel.sharding import shard_params
 
+                        pre_seeded = self.params
+                        if not self.aux:
+                            # imported trees carry only params; a BatchNorm
+                            # model still needs fresh aux collections
+                            # (running stats start at init values)
+                            in_shape, _ = dm.get_data_dims()
+                            probe = jax.eval_shape(
+                                lambda r: phase_model.init(
+                                    {"params": r},
+                                    jnp.zeros((2,) + tuple(in_shape[1:]),
+                                              jnp.float32),
+                                    tuple(in_vars), tuple(out_vars),
+                                    deterministic=True),
+                                jax.random.PRNGKey(0))
+                            if set(probe) - {"params"}:
+                                self._init_params(phase_model, dm)  # sets aux
                         self.params = shard_params(
-                            jax.tree.map(jnp.asarray, self.params), self.mesh)
+                            jax.tree.map(jnp.asarray, pre_seeded), self.mesh)
                     # optax state mirrors the param tree under mu/nu, so the
                     # same path rules produce its shardings; scalars (count,
                     # injected lr) fall through to replicated P()

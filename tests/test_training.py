@@ -481,3 +481,47 @@ def test_trainer_resnet_preset_with_batch_stats(synth_dataset, tmp_path):
     h2 = t2.fit(max_epochs=2, max_steps_per_epoch=1)
     assert h2 and h2[0]["epoch"] == 1
     assert "batch_stats" in t2.aux
+
+
+def test_trainer_preseeded_conv_params_get_fresh_batch_stats(synth_dataset, tmp_path):
+    """Fine-tune flow for a BatchNorm model: params imported externally
+    (trainer.params pre-set) must still get fresh aux collections — without
+    the probe the first apply crashes on the empty batch_stats."""
+    import jax.numpy as jnp
+    from orbit2_tpu.training.trainer import Trainer
+    from orbit2_tpu.models.resnet import ResNet
+    from orbit2_tpu.utils.loaders import Interpolation, PreInterpolated
+
+    ds = synth_dataset
+    cfg = load_config({
+        "trainer": {"max_epochs": 1, "batch_size": 4, "buffer_size": 8,
+                    "num_workers": 0, "data_type": "float32",
+                    "train_loss": "mse", "remat": False},
+        "parallelism": {},
+        "tiling": {"do_tiling": False},
+        "model": {"preset": "resnet", "lr": 1e-3, "warmup_epochs": 1,
+                  "superres_mag": 4, "drop_rate": 0.0},
+        "data": {
+            "low_res_dir": {"SYNTH": ds["low"]},
+            "high_res_dir": {"SYNTH": ds["high"]},
+            "spatial_resolution": {"SYNTH": 625},
+            "default_vars": list(ds["in_vars"]),
+            "dict_in_variables": {"SYNTH": list(ds["in_vars"])},
+            "dict_out_variables": {"SYNTH": list(ds["out_vars"])},
+        },
+    })
+    # "imported" params: a fresh init of the same architecture, params only
+    wrapped = PreInterpolated(
+        Interpolation(scale_factor=4, mode="bilinear"),
+        ResNet(in_channels=len(ds["in_vars"]), out_channels=len(ds["out_vars"]),
+               history=1, dropout=0.0, dtype=jnp.float32))
+    x = jnp.zeros((2, len(ds["in_vars"]), ds["H"], ds["W"]), jnp.float32)
+    pre = wrapped.init({"params": jax.random.PRNGKey(8)}, x,
+                       tuple(ds["in_vars"]), tuple(ds["out_vars"]),
+                       deterministic=True)["params"]
+
+    t = Trainer(cfg, checkpoint_dir=str(tmp_path / "ck"))
+    t.params = jax.tree.map(np.asarray, pre)
+    hist = t.fit(max_epochs=1, max_steps_per_epoch=1)
+    assert hist and np.isfinite(hist[0]["loss"])
+    assert "batch_stats" in t.aux
