@@ -474,7 +474,7 @@ def _pad_to(x, n, axis):
 
 def flash_attention(q, k, v, sm_scale: Optional[float] = None,
                     block_q: Optional[int] = None,
-                    block_k: int = DEFAULT_BLOCK_K,
+                    block_k: Optional[int] = None,
                     dropout_rate: float = 0.0,
                     dropout_rng=None,
                     group: Optional[int] = None):
@@ -489,11 +489,14 @@ def flash_attention(q, k, v, sm_scale: Optional[float] = None,
     b, n_q, h, d = q.shape
     n_k = k.shape[1]
     sm_scale = d**-0.5 if sm_scale is None else sm_scale
+    # d-aware scaling applies only to the defaults — an explicit caller
+    # block (kernel sweeps) is honored as-is
     if block_q is None:
-        block_q = (DEFAULT_BLOCK_Q_DROPOUT if dropout_rate > 0.0
-                   else DEFAULT_BLOCK_Q)
-    block_q = scale_block_for_head_dim(block_q, d)
-    block_k = scale_block_for_head_dim(block_k, d)
+        block_q = scale_block_for_head_dim(
+            DEFAULT_BLOCK_Q_DROPOUT if dropout_rate > 0.0
+            else DEFAULT_BLOCK_Q, d)
+    if block_k is None:
+        block_k = scale_block_for_head_dim(DEFAULT_BLOCK_K, d)
     # blocks stay multiples of 128 (MXU/VPU lanes); shrink for short seqs
     while block_q > 128 and block_q > n_q:
         block_q //= 2

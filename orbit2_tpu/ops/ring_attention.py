@@ -140,8 +140,8 @@ _ring_core.defvjp(_ring_core_fwd, _ring_core_bwd)
 
 def ring_flash_attention(q, k, v, axis_name: str,
                          sm_scale: Optional[float] = None,
-                         block_q: int = DEFAULT_BLOCK_Q,
-                         block_k: int = DEFAULT_BLOCK_K):
+                         block_q: Optional[int] = None,
+                         block_k: Optional[int] = None):
     """q/k/v: LOCAL shards [B, N_local, H, D] inside shard_map over
     `axis_name`. Returns [B, N_local, H, D]. N_local must be a multiple of
     128 (TPU lane tiling); no padding on the ring path."""
@@ -151,8 +151,11 @@ def ring_flash_attention(q, k, v, axis_name: str,
     sm_scale = d**-0.5 if sm_scale is None else sm_scale
     from orbit2_tpu.ops.flash_attention import scale_block_for_head_dim
 
-    block_q = scale_block_for_head_dim(block_q, d)
-    block_k = scale_block_for_head_dim(block_k, d)
+    # d-aware scaling applies only to the defaults; explicit blocks win
+    if block_q is None:
+        block_q = scale_block_for_head_dim(DEFAULT_BLOCK_Q, d)
+    if block_k is None:
+        block_k = scale_block_for_head_dim(DEFAULT_BLOCK_K, d)
 
     def to_bhnd(x):
         return x.transpose(0, 2, 1, 3).reshape(b * h, n_l, d)

@@ -84,96 +84,44 @@ def make_train_step(
     out_variables = tuple(out_variables)
     aux_collections = tuple(aux_collections)
 
-    if aux_collections:
-        return _make_train_step_aux(
-            model, train_loss_metric, var_weights, tx, in_variables,
-            out_variables, grad_accum, aux_collections)
-
-    def step(params, opt_state, x, y, rng):
-        def loss_fn(p, xb, yb, r):
+    def loss_fn(p, a, xb, yb, r):
+        if aux_collections:
+            yhat, new_a = model.apply(
+                {"params": p, **a}, xb, in_variables, out_variables,
+                deterministic=False, rngs={"dropout": r},
+                mutable=list(aux_collections),
+            )
+        else:
             yhat = model.apply(
                 {"params": p}, xb, in_variables, out_variables,
                 deterministic=False, rngs={"dropout": r},
             )
-            yhat = yhat.astype(jnp.float32)
-            yhat = clip_replace_constant(yb, yhat, out_variables)
-            y_ = _crop_to_match(yhat, yb)
-            losses = train_loss_metric(
-                yhat, y_, var_names=list(out_variables), var_weights=var_weights
-            )
-            return losses if losses.ndim == 0 else losses[-1]
-
-        if grad_accum > 1:
-            if x.shape[0] % grad_accum:
-                raise ValueError(
-                    f"batch {x.shape[0]} not divisible by grad_accum {grad_accum}")
-            mb = x.shape[0] // grad_accum
-            xs = x.reshape(grad_accum, mb, *x.shape[1:])
-            ys = y.reshape(grad_accum, mb, *y.shape[1:])
-
-            def body(carry, inp):
-                g_acc, l_acc, i = carry
-                xb, yb = inp
-                try:  # keep microbatches data-sharded under an active mesh
-                    from orbit2_tpu.parallel.mesh import BATCH_AXES
-
-                    am = jax.sharding.get_abstract_mesh()
-                    if am is not None and any(
-                            int(s) > 1 for s in dict(am.shape).values()):
-                        spec = jax.sharding.PartitionSpec(BATCH_AXES)
-                        xb = jax.lax.with_sharding_constraint(xb, spec)
-                        yb = jax.lax.with_sharding_constraint(yb, spec)
-                except Exception:
-                    pass
-                l, g = jax.value_and_grad(loss_fn)(
-                    params, xb, yb, jax.random.fold_in(rng, i))
-                g_acc = jax.tree.map(jnp.add, g_acc, g)
-                return (g_acc, l_acc + l, i + 1), None
-
-            zeros = jax.tree.map(jnp.zeros_like, params)
-            (g_sum, l_sum, _), _ = jax.lax.scan(
-                body,
-                (zeros, jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32)),
-                (xs, ys))
-            grads = jax.tree.map(lambda g: g / grad_accum, g_sum)
-            loss = l_sum / grad_accum
-        else:
-            loss, grads = jax.value_and_grad(
-                lambda p: loss_fn(p, x, y, rng))(params)
-        if debug_grad_norms:
-            from orbit2_tpu.training.debug import grad_inspect
-
-            grad_inspect(grads)
-        updates, new_opt_state = tx.update(grads, opt_state, params)
-        new_params = optax.apply_updates(params, updates)
-        return new_params, new_opt_state, loss
-
-    # Sharding is carried by the committed inputs (params via shard_params,
-    # batches via batch_sharding) and propagated by GSPMD — no explicit
-    # in_shardings needed; donate params/opt_state buffers.
-    return jax.jit(step, donate_argnums=(0, 1))
-
-
-def _make_train_step_aux(model, train_loss_metric, var_weights, tx,
-                         in_variables, out_variables, grad_accum,
-                         aux_collections):
-    """make_train_step variant threading mutable non-param collections
-    (BatchNorm running stats) through the step."""
-
-    def loss_fn(p, a, xb, yb, r):
-        yhat, new_a = model.apply(
-            {"params": p, **a}, xb, in_variables, out_variables,
-            deterministic=False, rngs={"dropout": r},
-            mutable=list(aux_collections),
-        )
+            new_a = a
         yhat = yhat.astype(jnp.float32)
         yhat = clip_replace_constant(yb, yhat, out_variables)
         y_ = _crop_to_match(yhat, yb)
         losses = train_loss_metric(
-            yhat, y_, var_names=list(out_variables), var_weights=var_weights)
+            yhat, y_, var_names=list(out_variables), var_weights=var_weights
+        )
         return (losses if losses.ndim == 0 else losses[-1]), new_a
 
-    def step(params, aux, opt_state, x, y, rng):
+    def _constrain_batch(xb, yb):
+        """Keep microbatches data-sharded under an active mesh — without the
+        constraint GSPMD may replicate each scan slice onto every device."""
+        try:
+            from orbit2_tpu.parallel.mesh import BATCH_AXES
+
+            am = jax.sharding.get_abstract_mesh()
+            if am is not None and any(
+                    int(s) > 1 for s in dict(am.shape).values()):
+                spec = jax.sharding.PartitionSpec(BATCH_AXES)
+                return (jax.lax.with_sharding_constraint(xb, spec),
+                        jax.lax.with_sharding_constraint(yb, spec))
+        except Exception:
+            pass
+        return xb, yb
+
+    def core(params, aux, opt_state, x, y, rng):
         if grad_accum > 1:
             if x.shape[0] % grad_accum:
                 raise ValueError(
@@ -185,6 +133,7 @@ def _make_train_step_aux(model, train_loss_metric, var_weights, tx,
             def body(carry, inp):
                 g_acc, l_acc, a, i = carry
                 xb, yb = inp
+                xb, yb = _constrain_batch(xb, yb)
                 (l, new_a), g = jax.value_and_grad(loss_fn, has_aux=True)(
                     params, a, xb, yb, jax.random.fold_in(rng, i))
                 return (jax.tree.map(jnp.add, g_acc, g), l_acc + l,
@@ -201,11 +150,26 @@ def _make_train_step_aux(model, train_loss_metric, var_weights, tx,
         else:
             (loss, new_aux), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params, aux, x, y, rng)
+        if debug_grad_norms:
+            from orbit2_tpu.training.debug import grad_inspect
+
+            grad_inspect(grads)
         updates, new_opt_state = tx.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
         return new_params, new_aux, new_opt_state, loss
 
-    return jax.jit(step, donate_argnums=(0, 1, 2))
+    # Sharding is carried by the committed inputs (params via shard_params,
+    # batches via batch_sharding) and propagated by GSPMD — no explicit
+    # in_shardings needed; donate params/aux/opt_state buffers.
+    if aux_collections:
+        return jax.jit(core, donate_argnums=(0, 1, 2))
+
+    def step(params, opt_state, x, y, rng):
+        new_params, _, new_opt_state, loss = core(params, {}, opt_state,
+                                                  x, y, rng)
+        return new_params, new_opt_state, loss
+
+    return jax.jit(step, donate_argnums=(0, 1))
 
 
 def make_eval_step(model, in_variables, out_variables, mesh=None,

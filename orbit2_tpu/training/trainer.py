@@ -178,6 +178,29 @@ class Trainer:
                  f" (+aux: {sorted(self.aux)})" if self.aux else "")
         return params
 
+    def _ensure_aux(self, phase_model, data_module):
+        """Pre-seeded param trees (fine-tune imports) carry only params; a
+        BatchNorm model still needs fresh aux collections (running stats at
+        init values). Initializes ONLY the non-param collections — XLA
+        dead-code-eliminates the unused param buffers."""
+        if self.aux:
+            return
+        in_shape, _ = data_module.get_data_dims()
+        in_vars, out_vars = data_module.get_data_variables()
+        dummy = jnp.zeros((2,) + tuple(in_shape[1:]), jnp.float32)
+
+        def aux_only(r):
+            variables = phase_model.init(
+                {"params": r}, dummy, tuple(in_vars), tuple(out_vars),
+                deterministic=True)
+            return {k: v for k, v in variables.items() if k != "params"}
+
+        if set(jax.eval_shape(aux_only, jax.random.PRNGKey(0))):
+            with self.mesh:
+                self.aux = jax.jit(aux_only)(
+                    jax.random.PRNGKey(self.cfg.trainer.seed))
+            log.info("initialized aux collections: %s", sorted(self.aux))
+
     def _put_batch(self, x, y):
         sh = batch_sharding(self.mesh)
         return (jax.device_put(jnp.asarray(x), sh), jax.device_put(jnp.asarray(y), sh))
@@ -234,24 +257,9 @@ class Trainer:
                         # pre-seeded params (fine-tune import): place on mesh
                         from orbit2_tpu.parallel.sharding import shard_params
 
-                        pre_seeded = self.params
-                        if not self.aux:
-                            # imported trees carry only params; a BatchNorm
-                            # model still needs fresh aux collections
-                            # (running stats start at init values)
-                            in_shape, _ = dm.get_data_dims()
-                            probe = jax.eval_shape(
-                                lambda r: phase_model.init(
-                                    {"params": r},
-                                    jnp.zeros((2,) + tuple(in_shape[1:]),
-                                              jnp.float32),
-                                    tuple(in_vars), tuple(out_vars),
-                                    deterministic=True),
-                                jax.random.PRNGKey(0))
-                            if set(probe) - {"params"}:
-                                self._init_params(phase_model, dm)  # sets aux
+                        self._ensure_aux(phase_model, dm)
                         self.params = shard_params(
-                            jax.tree.map(jnp.asarray, pre_seeded), self.mesh)
+                            jax.tree.map(jnp.asarray, self.params), self.mesh)
                     # optax state mirrors the param tree under mu/nu, so the
                     # same path rules produce its shardings; scalars (count,
                     # injected lr) fall through to replicated P()
@@ -340,7 +348,9 @@ class Trainer:
 
     def validate(self, phase_model, dm, in_vars, out_vars, epoch: int):
         # cache the jitted eval step per variable-set (one compile per phase)
-        ekey = (tuple(in_vars), tuple(out_vars), phase_model.img_size)
+        # wrapped presets (PreInterpolated vit/unet/resnet) carry no img_size
+        ekey = (tuple(in_vars), tuple(out_vars),
+                getattr(phase_model, "img_size", None))
         if not hasattr(self, "_eval_steps"):
             self._eval_steps = {}
         if ekey not in self._eval_steps:
@@ -409,6 +419,8 @@ class Trainer:
         in_vars, out_vars = dm.get_data_variables()
         if self.params is None:
             self.params = self._init_params(phase_model, dm)
+        else:
+            self._ensure_aux(phase_model, dm)  # pre-seeded conv params
         eval_step = make_eval_step(phase_model, in_vars, out_vars,
                                    mesh=self.mesh,
                                    aux_collections=tuple(sorted(self.aux)))

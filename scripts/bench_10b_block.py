@@ -8,10 +8,11 @@ AOT-sharding compile proofs (tests/test_scale_aot.py) with a measured
 per-layer efficiency. Run alone (owns the chip).
 """
 
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

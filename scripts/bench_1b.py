@@ -8,9 +8,10 @@ for BASELINE.md's metric, not peak MFU (that needs a v5p pod).
 Run: PYTHONPATH=/root/repo:$PYTHONPATH python scripts/bench_1b.py
 """
 
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 import json

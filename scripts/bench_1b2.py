@@ -1,6 +1,7 @@
 """1B remat/batch sweep with the r2 kernels (north-star config)."""
+import os
 import sys
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from scripts.bench_ablate import run_case
 
 K = dict(embed=3072, depth=8, heads=24, img=(64, 128), rng_impl="rbg", iters=8)

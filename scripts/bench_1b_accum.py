@@ -3,10 +3,11 @@
 grad_accum=16 x microbatch 2, remat=dots, bf16 adam first moment — the
 whole reference workload unit, single v5e. Run alone (owns the chip)."""
 
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -1,6 +1,7 @@
 """1B step decomposition: optimizer share at the real param tree."""
+import os
 import sys, time
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import functools
 import jax, jax.numpy as jnp, numpy as np, optax
 from orbit2_tpu.models import ResSlimViT

@@ -3,9 +3,10 @@
 Run on the real chip: python scripts/bench_ablate.py
 """
 
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 import time

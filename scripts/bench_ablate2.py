@@ -1,6 +1,7 @@
 """Round-2 step decomposition at 117M with the new kernels."""
+import os
 import sys
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from scripts.bench_ablate import run_case
 
 run_case("base remat-off drop0.1 rbg", remat=False, rng_impl="rbg")

@@ -1,6 +1,7 @@
 """Round-2 batch scaling at 117M now that dropout masks left the residuals."""
+import os
 import sys
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from scripts.bench_ablate import run_case
 
 run_case("b16 no-remat drop0.1", remat=False, batch=16, rng_impl="rbg")

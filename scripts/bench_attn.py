@@ -4,9 +4,10 @@ for fwd and fwd+bwd at the production shapes.
 Run alone (nothing else may hold the TPU): python scripts/bench_attn.py
 """
 
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 import time

@@ -4,9 +4,10 @@
 Run alone on the chip: PYTHONPATH=. python scripts/bench_attn2.py
 """
 
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 import functools

@@ -8,10 +8,11 @@ backward runs ~38 TF effective at 32k vs the forward's 60 TF; this measures
 the kernels in isolation and sweeps blocks.
 """
 
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

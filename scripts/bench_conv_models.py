@@ -6,10 +6,11 @@ measured PRODUCTION train steps (make_train_step with batch_stats threaded
 via aux_collections, mse loss, adamw, bf16). Run alone (owns the chip).
 """
 
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

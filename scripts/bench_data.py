@@ -7,9 +7,10 @@ beat re-reading + re-transforming.
 Run: PYTHONPATH=/root/repo:$PYTHONPATH python scripts/bench_data.py
 """
 
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 import os

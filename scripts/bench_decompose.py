@@ -1,10 +1,11 @@
 """117M step decomposition: isolate attention, trunk matmuls, optimizer,
 loss, and dispatch overhead. Run alone on the chip."""
 
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

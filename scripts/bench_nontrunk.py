@@ -1,10 +1,11 @@
 """Break down the depth-0 model's 9.7ms fwd: embed/var-agg vs decoder vs
 residual-conv path. Run alone."""
 
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

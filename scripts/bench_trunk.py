@@ -1,10 +1,11 @@
 """Find where the attention-free 117M trunk loses efficiency: pure matmul
 chain vs Block stack vs the full model's non-trunk parts. Run alone."""
 
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -1,7 +1,8 @@
 """On-chip validation of the u8-threshold in-kernel dropout: determinism,
 expectation, fwd/bwd mask consistency, and the step-time effect."""
+import os
 import sys, time
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax, jax.numpy as jnp, numpy as np
 from orbit2_tpu.ops.flash_attention import flash_attention
 from orbit2_tpu.ops.dropout import fused_dropout

@@ -7,9 +7,10 @@ just runs.
 PYTHONPATH=/root/repo:$PYTHONPATH python scripts/convergence_check.py
 """
 
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 import time

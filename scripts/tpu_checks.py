@@ -8,9 +8,10 @@ PYTHONPATH=/root/repo:$PYTHONPATH python scripts/tpu_checks.py
 3. full train-step timing with the optimized path (in-kernel dropout + rbg)
 """
 
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 import time

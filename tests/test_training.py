@@ -468,7 +468,9 @@ def test_trainer_resnet_preset_with_batch_stats(synth_dataset, tmp_path):
             "dict_out_variables": {"SYNTH": list(ds["out_vars"])},
         },
     })
-    t = Trainer(cfg, checkpoint_dir=str(tmp_path / "ck"))
+    # run_validation: validate() must handle wrapped presets (no img_size
+    # attribute on PreInterpolated) and thread aux into the eval step
+    t = Trainer(cfg, checkpoint_dir=str(tmp_path / "ck"), run_validation=True)
     hist = t.fit(max_epochs=1, max_steps_per_epoch=2)
     assert hist and all(np.isfinite(h["loss"]) for h in hist)
     assert "batch_stats" in t.aux
