@@ -39,6 +39,13 @@ def main():
         cfg.parallelism.fsdp = math.gcd(cfg.parallelism.fsdp, rest)
         cfg.parallelism.simple_ddp = rest // cfg.parallelism.fsdp
         cfg.parallelism.seq_par = 1
+        # the data axes shard the batch — shrink until they divide it
+        while (cfg.parallelism.simple_ddp > 1 and
+               cfg.trainer.batch_size % cfg.parallelism.data_par):
+            cfg.parallelism.simple_ddp //= 2
+        while (cfg.parallelism.fsdp > 1 and
+               cfg.trainer.batch_size % cfg.parallelism.data_par):
+            cfg.parallelism.fsdp //= 2
 
     trainer = Trainer(cfg, run_validation="--validate" in sys.argv)
     trainer.fit()
