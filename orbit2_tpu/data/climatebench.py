@@ -137,7 +137,13 @@ class ClimateBenchDataset:
 
 class ClimateBenchDataModule:
     """reference climatebench_module.py:31-171 — same data-module protocol as
-    IterDataModule so `load_climatebench_module` works unchanged."""
+    IterDataModule so `load_climatebench_module` works unchanged.
+
+    NB: the default simulation list + skip_historical=(i < 2) replicate the
+    reference experiments (climate_projection/*.py:70-86) exactly — which
+    means the 1850-2014 window enters the train/val pool twice (once via
+    unskipped ssp585, once via 'historical'). Kept bit-for-bit; pass a
+    custom list_train_simu to deduplicate."""
 
     def __init__(
         self,
@@ -228,7 +234,10 @@ class ClimateBenchDataModule:
     def _loader(self, ds, shuffle, seed=0):
         idx = np.arange(len(ds))
         if shuffle:
-            np.random.default_rng(seed).shuffle(idx)
+            # fresh permutation per call: torch DataLoader(shuffle=True)
+            # reshuffles every epoch; a fixed seed would freeze batch order
+            self._epoch = getattr(self, "_epoch", -1) + 1
+            np.random.default_rng(seed + self._epoch).shuffle(idx)
         bs = self.batch_size
         for lo in range(0, len(idx), bs):
             chunk = idx[lo:lo + bs]

@@ -60,12 +60,28 @@ def download_weatherbench(root, dataset, variable, resolution=5.625):
 
 
 def download_prism(root, year, variable="ppt"):
-    """reference download.py:103-126 (PRISM FTP yearly .bil bundles)."""
-    import urllib.request
+    """PRISM daily .bil bundles (reference download.py:90-104): walk the
+    year's FTP directory, fetch every zip, extract each into a
+    YYYYMMDD-named subdirectory for prism.py to regrid."""
+    import re
+    from ftplib import FTP
+    from zipfile import ZipFile
 
     os.makedirs(root, exist_ok=True)
-    url = f"https://ftp.prism.oregonstate.edu/daily/{variable}/{year}/"
-    urllib.request.urlretrieve(url, os.path.join(root, f"prism_{variable}_{year}"))
+    ftp = FTP("prism.oregonstate.edu")
+    ftp.login()
+    ftp.cwd(f"/daily/{variable}/{year}")
+    for remote_fn in ftp.nlst():
+        local_fn = os.path.join(root, remote_fn)
+        with open(local_fn, "wb") as f:
+            ftp.retrbinary(f"RETR {remote_fn}", f.write)
+        date = re.search(r"\d{8}", remote_fn)
+        if date and remote_fn.endswith(".zip"):
+            subdir = os.path.join(root, date[0])
+            os.makedirs(subdir, exist_ok=True)
+            with ZipFile(local_fn) as z:
+                z.extractall(path=subdir)
+    ftp.quit()
 
 
 def main():  # pragma: no cover

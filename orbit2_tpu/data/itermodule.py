@@ -161,6 +161,11 @@ class IterDataModule:
         normed = OrderedDict()
         for var in variables:
             if var in PRECIP_VARIABLES:
+                # NB: nc2npz ALSO bakes log(eps+tp)-log(eps) into the shards
+                # at preprocessing (reference nc2npz.py:66-72) and the
+                # reference's itermodule still routes the same variable
+                # through LogTransform at runtime (itermodule.py:207-208) —
+                # a double transform replicated here bit-for-bit for parity.
                 normed[var] = LogTransform(m2mm=True, log1p=True, thres_mm_per_day=0.25)
             else:
                 normed[var] = Normalize(normalize_mean[var][0], normalize_std[var][0])
@@ -249,7 +254,13 @@ class IterDataModule:
         """In-RAM native sample store path (the DDStore replacement, enabled
         by ORBIT2_USE_SAMPLESTORE=1 like the reference's ORBIT_USE_DDSTORE,
         itermodule.py:235): drain the train pipeline once, then serve
-        shuffled epochs with C++ multi-threaded batch gathers."""
+        shuffled epochs with C++ multi-threaded batch gathers.
+
+        Scope matches the reference's DDStore branch, which stores plain
+        (x, y) stacks (distdataset.py:134-149) with torch's default collate:
+        the downscaling task only. Continuous-forecasting lead-time channels
+        and extreme-mask splitting live in the streaming collate — use the
+        default loader for those tasks (as the reference must)."""
         if getattr(self, "_store_loader", None) is None:
             from orbit2_tpu.native.store import SampleStore, StoreDataLoader
 

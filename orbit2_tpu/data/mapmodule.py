@@ -94,9 +94,12 @@ class ERA5toPRISMDataModule:
         return ((self.batch_size,) + x.shape, (self.batch_size,) + y.shape)
 
     def get_climatology(self, split="train"):
+        """Protocol shape is (H, W) per variable (itermodule returns the
+        same), padded like the targets/mask so climatology-based metrics
+        broadcast against the padded predictions."""
         ds = {"train": self.train_dataset, "val": self.val_dataset,
               "test": self.test_dataset}[split]
-        return {"daily_tmax": ds.out_per_pixel_mean[None]}
+        return {"daily_tmax": np.pad(ds.out_per_pixel_mean, PAD)}
 
     def get_out_transforms(self):
         return {"daily_tmax": self.out_transform}

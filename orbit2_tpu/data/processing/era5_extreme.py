@@ -53,28 +53,62 @@ def extreme_mask(g: np.ndarray, low: np.ndarray, high: np.ndarray) -> np.ndarray
 
 def generate_extreme_masks(x: np.ndarray, time_horizon: int = 7 * 24,
                            window: int = 1, low_percentile: float = 0.05,
-                           high_percentile: float = 0.95):
-    """x: [T, H, W] raw 2m_temperature -> (masks [T', H, W], low, high)."""
+                           high_percentile: float = 0.95, low=None, high=None):
+    """x: [T, H, W] raw 2m_temperature -> (masks [T, H, W], low, high).
+
+    Masks are FULL length, zero for the first `time_horizon` steps, and
+    mask[i] flags g[i - horizon] (reference era5_extreme.py:96-105:
+    air_temp_extreme_mask is zeros_like(air_temp) filled from horizon on) —
+    so masks align 1:1 with the data timesteps they gate. Thresholds may be
+    passed in (the reference computes them once from a climatology period
+    and applies them to every shard)."""
     g = smoothed_rolling_mean(x, time_horizon, window)
-    low, high = extreme_thresholds(g, low_percentile, high_percentile)
-    return extreme_mask(g, low, high), low, high
+    if low is None or high is None:
+        low, high = extreme_thresholds(g, low_percentile, high_percentile)
+    masks = np.zeros_like(x, dtype=np.float32)
+    masks[time_horizon:] = extreme_mask(g[: x.shape[0] - time_horizon],
+                                        low, high)
+    return masks, low, high
 
 
-def process_era5_extreme(source_npz: str, target: str, variable="t2m",
+def process_era5_extreme(source_npz: str, target: str,
+                         variable="2m_temperature",
                          time_horizon: int = 7 * 24):  # pragma: no cover
-    """File-level driver matching the reference CLI shape."""
+    """File-level driver matching the reference semantics
+    (era5_extreme.py:113-170): thresholds from the TRAIN split's smoothed
+    climatology, masks merged INTO the data shards (every original key is
+    preserved + `<var>_extreme_mask`), full-length and time-aligned."""
     import glob
     import os
+
+    mask_key = f"{variable}_extreme_mask"
+
+    def split_files(split):
+        return sorted(glob.glob(os.path.join(source_npz, split, "*.npz")))
+
+    # pass 1: thresholds over the train split's pooled smoothed means
+    g_all = []
+    for f in split_files("train"):
+        data = np.load(f)
+        if variable in data:
+            g_all.append(smoothed_rolling_mean(
+                np.squeeze(data[variable], axis=1), time_horizon))
+    if not g_all:
+        raise FileNotFoundError(
+            f"no train shards containing {variable!r} under {source_npz}")
+    low, high = extreme_thresholds(np.concatenate(g_all, axis=0))
 
     os.makedirs(target, exist_ok=True)
     for split in ("train", "val", "test"):
         out_dir = os.path.join(target, split)
         os.makedirs(out_dir, exist_ok=True)
-        for f in sorted(glob.glob(os.path.join(source_npz, split, "*.npz"))):
-            data = np.load(f)
+        for f in split_files(split):
+            data = dict(np.load(f))
             if variable not in data:
                 continue
             x = np.squeeze(data[variable], axis=1)
-            masks, low, high = generate_extreme_masks(x, time_horizon)
-            np.savez(os.path.join(out_dir, os.path.basename(f)),
-                     **{"2m_temperature_extreme_mask": masks[:, None]})
+            masks, _, _ = generate_extreme_masks(x, time_horizon,
+                                                 low=low, high=high)
+            data[mask_key] = masks[:, None]
+            np.savez(os.path.join(out_dir, os.path.basename(f)), **data)
+    return low, high

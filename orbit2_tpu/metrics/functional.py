@@ -252,7 +252,12 @@ def msess(pred, target, climatology, aggregate_only: bool = False, lat_weights=N
 
 
 def gaussian_crps(mean, std, target, aggregate_only: bool = False, lat_weights=None):
-    """CRPS of a Normal predictive distribution (reference functional.py:340-360)."""
+    """CRPS of a Normal predictive distribution (reference functional.py:340-360).
+
+    NB: the reference's closed form uses 1/pi where the textbook Normal CRPS
+    has 1/sqrt(pi) (`- 1 / torch.pi`, functional.py:353) — replicated here
+    bit-for-bit since numerical parity is the contract; a calibrated
+    forecast's CRPS is offset by ~0.246*std from the theoretical minimum."""
     z = (target - mean) / std
     pdf = jnp.exp(jax.scipy.stats.norm.logpdf(z))
     cdf = jax.scipy.stats.norm.cdf(z)
@@ -263,7 +268,12 @@ def gaussian_crps(mean, std, target, aggregate_only: bool = False, lat_weights=N
 
 
 def gaussian_spread(std, aggregate_only: bool = False, lat_weights=None):
-    """Reference functional.py:363-375."""
+    """Reference functional.py:363-375.
+
+    NB: replicates the reference's unit mix — per-channel entries are
+    root-mean VARIANCE (sigma units) while the aggregate is mean variance
+    (sigma^2 units), so the spread/skill ratio's aggregate slot carries the
+    same quirk. Kept bit-for-bit for parity."""
     variance = jnp.square(std)
     if lat_weights is not None:
         variance = variance * lat_weights

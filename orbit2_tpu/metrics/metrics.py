@@ -61,8 +61,12 @@ class ClimatologyBasedMetric(Metric):
 
     def __init__(self, aggregate_only: bool = False, metainfo: Optional[MetricsMetaInfo] = None):
         super().__init__(aggregate_only, metainfo)
-        clim = jnp.asarray(self.metainfo.climatology)
-        self.climatology = clim[None]  # (1, C, H, W)
+        self._attach_climatology()
+
+    def _attach_climatology(self):
+        """Shared by the lat-weighted climatology metrics, whose MRO routes
+        __init__ through LatitudeWeightedMetric instead."""
+        self.climatology = jnp.asarray(self.metainfo.climatology)[None]  # (1, C, H, W)
 
 
 class TransformedMetric:
@@ -145,8 +149,7 @@ class ACC(ClimatologyBasedMetric):
 class LatWeightedACC(LatitudeWeightedMetric, ClimatologyBasedMetric):
     def __init__(self, aggregate_only: bool = False, metainfo=None):
         LatitudeWeightedMetric.__init__(self, aggregate_only, metainfo)
-        clim = jnp.asarray(metainfo.climatology)
-        self.climatology = clim[None]
+        self._attach_climatology()
 
     def __call__(self, pred, target, mask=None, **_):
         return F.acc(pred, target, self.climatology, self.aggregate_only,
@@ -169,7 +172,7 @@ class MeanBias(Metric):
 class LatNRMSEs(LatitudeWeightedMetric, ClimatologyBasedMetric):
     def __init__(self, aggregate_only: bool = False, metainfo=None):
         LatitudeWeightedMetric.__init__(self, aggregate_only, metainfo)
-        self.climatology = jnp.asarray(metainfo.climatology)[None]
+        self._attach_climatology()
 
     def __call__(self, pred, target, **_):
         return F.nrmses(pred, target, self.climatology, self.aggregate_only, self.lat_weights)
@@ -179,7 +182,7 @@ class LatNRMSEs(LatitudeWeightedMetric, ClimatologyBasedMetric):
 class LatNRMSEg(LatitudeWeightedMetric, ClimatologyBasedMetric):
     def __init__(self, aggregate_only: bool = False, metainfo=None):
         LatitudeWeightedMetric.__init__(self, aggregate_only, metainfo)
-        self.climatology = jnp.asarray(metainfo.climatology)[None]
+        self._attach_climatology()
 
     def __call__(self, pred, target, **_):
         return F.nrmseg(pred, target, self.climatology, self.aggregate_only, self.lat_weights)

@@ -221,7 +221,9 @@ def test_era5_to_prism_module(tmp_path):
     assert abs(float(x.mean())) < 0.3  # normalized
     assert dm.get_out_mask().shape == (110, 240)
     clim = dm.get_climatology("val")
-    assert clim["daily_tmax"].shape == (1, 104, 236)
+    # protocol shape: (H, W) per variable, padded like targets/mask so
+    # climatology-based metrics broadcast against padded predictions
+    assert clim["daily_tmax"].shape == (110, 240)
 
 
 def test_batchloader_early_break_stops_producer(synth_dataset):

@@ -89,8 +89,13 @@ def test_extreme_mask_pipeline():
     low, high = extreme_thresholds(g)
     assert (low < high).all()
     masks, low2, high2 = generate_extreme_masks(x, time_horizon=24)
-    frac = masks.mean()
+    # full-length, time-aligned (reference zeros the first horizon steps)
+    assert masks.shape == x.shape
+    assert masks[:24].sum() == 0
+    frac = masks[24:].mean()
     assert 0.05 < frac < 0.2  # ~10% of samples flagged extreme
+    # mask[horizon + j] flags g[j] (reference era5_extreme.py:98-104)
+    np.testing.assert_array_equal(masks[24:], ((g < low2) | (g > high2)))
 
 
 def test_rank_histogram_uniform_for_calibrated():
