@@ -72,15 +72,18 @@ def download_prism(root, year, variable="ppt"):
     ftp.login()
     ftp.cwd(f"/daily/{variable}/{year}")
     for remote_fn in ftp.nlst():
+        # skip non-zip listing entries (subdirs, checksums) before fetching
+        date = re.search(r"\d{8}", remote_fn)
+        if not (date and remote_fn.endswith(".zip")):
+            continue
         local_fn = os.path.join(root, remote_fn)
         with open(local_fn, "wb") as f:
             ftp.retrbinary(f"RETR {remote_fn}", f.write)
-        date = re.search(r"\d{8}", remote_fn)
-        if date and remote_fn.endswith(".zip"):
-            subdir = os.path.join(root, date[0])
-            os.makedirs(subdir, exist_ok=True)
-            with ZipFile(local_fn) as z:
-                z.extractall(path=subdir)
+        subdir = os.path.join(root, date[0])
+        os.makedirs(subdir, exist_ok=True)
+        with ZipFile(local_fn) as z:
+            z.extractall(path=subdir)
+        os.unlink(local_fn)  # reference deletes the archive after extraction
     ftp.quit()
 
 

@@ -71,28 +71,62 @@ def generate_extreme_masks(x: np.ndarray, time_horizon: int = 7 * 24,
     return masks, low, high
 
 
+def group_files_by_year(files):
+    """Group `<year>_<shard>.npz` paths by year, each group sorted by shard
+    index (reference era5_extreme.py:99-113). Files that don't match the
+    nc2npz naming (and climatology files) become standalone single-file
+    groups so masks are still produced for them."""
+    import os
+    import re
+
+    groups: dict = {}
+    for f in files:
+        base = os.path.basename(f)
+        if "climatology" in base:
+            continue
+        m = re.fullmatch(r"(\d{4})_(\d+)\.npz", base)
+        if m:
+            groups.setdefault(int(m.group(1)), []).append((int(m.group(2)), f))
+        else:
+            groups[base] = [(0, f)]
+    return [[f for _, f in sorted(v)] for _, v in sorted(
+        groups.items(), key=lambda kv: str(kv[0]))]
+
+
 def process_era5_extreme(source_npz: str, target: str,
                          variable="2m_temperature",
-                         time_horizon: int = 7 * 24):  # pragma: no cover
+                         time_horizon: int = 7 * 24):
     """File-level driver matching the reference semantics
-    (era5_extreme.py:113-170): thresholds from the TRAIN split's smoothed
-    climatology, masks merged INTO the data shards (every original key is
-    preserved + `<var>_extreme_mask`), full-length and time-aligned."""
+    (era5_extreme.py:96-170): ALL shards of a year are concatenated along
+    time BEFORE the rolling mean / mask pass, then split back per shard —
+    so shard boundaries never truncate the rolling window or inject extra
+    zeroed mask steps. Thresholds come from the TRAIN split's per-year
+    smoothed climatology; masks are merged INTO the data shards (every
+    original key preserved + `<var>_extreme_mask`), full-length and
+    time-aligned."""
     import glob
     import os
 
     mask_key = f"{variable}_extreme_mask"
 
-    def split_files(split):
-        return sorted(glob.glob(os.path.join(source_npz, split, "*.npz")))
+    def year_groups(split):
+        return group_files_by_year(
+            glob.glob(os.path.join(source_npz, split, "*.npz")))
 
-    # pass 1: thresholds over the train split's pooled smoothed means
+    # pass 1: thresholds over the train split's smoothed means, rolling
+    # windows computed per-YEAR over the concatenated shards
     g_all = []
-    for f in split_files("train"):
-        data = np.load(f)
-        if variable in data:
-            g_all.append(smoothed_rolling_mean(
-                np.squeeze(data[variable], axis=1), time_horizon))
+    for files in year_groups("train"):
+        xs = []
+        for f in files:
+            data = np.load(f)
+            if variable in data:
+                xs.append(data[variable])
+        if not xs:
+            continue
+        x = np.squeeze(np.concatenate(xs, axis=0), axis=1)
+        if x.shape[0] > time_horizon:
+            g_all.append(smoothed_rolling_mean(x, time_horizon))
     if not g_all:
         raise FileNotFoundError(
             f"no train shards containing {variable!r} under {source_npz}")
@@ -102,13 +136,18 @@ def process_era5_extreme(source_npz: str, target: str,
     for split in ("train", "val", "test"):
         out_dir = os.path.join(target, split)
         os.makedirs(out_dir, exist_ok=True)
-        for f in split_files(split):
-            data = dict(np.load(f))
-            if variable not in data:
+        for files in year_groups(split):
+            shards = [dict(np.load(f)) for f in files]
+            if any(variable not in d for d in shards):
                 continue
-            x = np.squeeze(data[variable], axis=1)
+            lengths = [d[variable].shape[0] for d in shards]
+            x = np.squeeze(
+                np.concatenate([d[variable] for d in shards], axis=0), axis=1)
             masks, _, _ = generate_extreme_masks(x, time_horizon,
                                                  low=low, high=high)
-            data[mask_key] = masks[:, None]
-            np.savez(os.path.join(out_dir, os.path.basename(f)), **data)
+            start = 0
+            for f, d, n in zip(files, shards, lengths):
+                d[mask_key] = masks[start : start + n, None]
+                start += n
+                np.savez(os.path.join(out_dir, os.path.basename(f)), **d)
     return low, high

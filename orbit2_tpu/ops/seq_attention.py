@@ -164,7 +164,13 @@ def seq_flash_attention(q, k, v, sm_scale: Optional[float] = None,
             # the full sequence for its head subset
             qh, kh, vh = (_a2a(t, 2, 1) for t in (qb, kb, vb))
             if rng is not None:
-                for ax in (AXIS_REPLICA, AXIS_FSDP, AXIS_SEQ, AXIS_TENSOR):
+                # fold the tensor axis ONLY when heads actually ride it —
+                # with head_axis None the activations are replicated across
+                # tensor and per-axis rngs would silently diverge them
+                fold_axes = [AXIS_REPLICA, AXIS_FSDP, AXIS_SEQ]
+                if head_axis is not None:
+                    fold_axes.append(AXIS_TENSOR)
+                for ax in fold_axes:
                     if shape.get(ax, 1) > 1:
                         rng = jax.random.fold_in(rng, jax.lax.axis_index(ax))
                 o = flash_attention(qh, kh, vh, sm_scale=sm_scale,
@@ -208,15 +214,21 @@ def seq_flash_attention(q, k, v, sm_scale: Optional[float] = None,
 
         shape = dict(mesh.shape)
 
-        # rng rides in_specs (replicated); each shard folds EVERY sharded
+        # rng rides in_specs (replicated); each shard folds every SHARDED
         # axis index in so masks decorrelate across seq shards (local
         # q-block indices restart at 0), dp replicas (different samples),
-        # and tp head groups (local bh indices restart at 0).
+        # and tp head groups (local bh indices restart at 0). The tensor
+        # axis is folded only when heads actually ride it — replicated
+        # activations must see identical masks.
+        fold_axes = [AXIS_REPLICA, AXIS_FSDP, AXIS_SEQ]
+        if head_axis is not None:
+            fold_axes.append(AXIS_TENSOR)
+
         @functools.partial(shard_map, mesh=mesh,
                            in_specs=(spec, spec, spec, P()),
                            out_specs=spec, check_vma=False)
         def inner_drop(qb, kb, vb, rng):
-            for ax in (AXIS_REPLICA, AXIS_FSDP, AXIS_SEQ, AXIS_TENSOR):
+            for ax in fold_axes:
                 if shape.get(ax, 1) > 1:
                     rng = jax.random.fold_in(rng, jax.lax.axis_index(ax))
             k_full = jax.lax.all_gather(kb, AXIS_SEQ, axis=1, tiled=True)

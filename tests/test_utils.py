@@ -18,6 +18,8 @@ from orbit2_tpu.training.optim import ReduceLROnPlateau
 from orbit2_tpu.data.processing.era5_extreme import (
     extreme_thresholds,
     generate_extreme_masks,
+    group_files_by_year,
+    process_era5_extreme,
     smoothed_rolling_mean,
 )
 
@@ -96,6 +98,58 @@ def test_extreme_mask_pipeline():
     assert 0.05 < frac < 0.2  # ~10% of samples flagged extreme
     # mask[horizon + j] flags g[j] (reference era5_extreme.py:98-104)
     np.testing.assert_array_equal(masks[24:], ((g < low2) | (g > high2)))
+
+
+def test_extreme_driver_shard_boundary_invariance(tmp_path):
+    """process_era5_extreme concatenates a year's shards before the rolling
+    pass (reference era5_extreme.py:116-170), so sharding a year 1-way vs
+    3-way must yield identical masks — no per-shard zeroed horizon or
+    truncated windows at shard boundaries."""
+    rng = np.random.default_rng(3)
+    t, h, w = 240, 4, 5
+    horizon = 24
+    x = rng.normal(280, 5, size=(t, 1, h, w)).astype(np.float32)
+
+    def build(root, n_shards):
+        for split in ("train", "val", "test"):
+            d = root / split
+            d.mkdir(parents=True)
+            per = t // n_shards
+            for s in range(n_shards):
+                np.savez(d / f"2017_{s}.npz",
+                         **{"2m_temperature": x[s * per : (s + 1) * per]})
+
+    src1, tgt1 = tmp_path / "one", tmp_path / "one_out"
+    src3, tgt3 = tmp_path / "three", tmp_path / "three_out"
+    build(src1, 1)
+    build(src3, 3)
+    lo1, hi1 = process_era5_extreme(str(src1), str(tgt1),
+                                    time_horizon=horizon)
+    lo3, hi3 = process_era5_extreme(str(src3), str(tgt3),
+                                    time_horizon=horizon)
+    np.testing.assert_allclose(lo1, lo3)
+    np.testing.assert_allclose(hi1, hi3)
+
+    m1 = np.load(tgt1 / "test" / "2017_0.npz")["2m_temperature_extreme_mask"]
+    m3 = np.concatenate(
+        [np.load(tgt3 / "test" / f"2017_{s}.npz")["2m_temperature_extreme_mask"]
+         for s in range(3)], axis=0)
+    assert m1.shape == (t, 1, h, w)
+    np.testing.assert_array_equal(m1, m3)
+    # only the FIRST shard of a year carries the zeroed horizon prefix
+    s1 = np.load(tgt3 / "test" / "2017_1.npz")["2m_temperature_extreme_mask"]
+    assert s1.sum() > 0
+    assert m3[horizon:].sum() == m1[horizon:].sum() > 0
+
+
+def test_group_files_by_year_ordering():
+    files = ["/d/2018_1.npz", "/d/2017_10.npz", "/d/2017_2.npz",
+             "/d/2018_0.npz", "/d/climatology.npz", "/d/custom.npz"]
+    groups = group_files_by_year(files)
+    assert ["/d/2017_2.npz", "/d/2017_10.npz"] in groups
+    assert ["/d/2018_0.npz", "/d/2018_1.npz"] in groups
+    assert ["/d/custom.npz"] in groups
+    assert all("climatology" not in f for g in groups for f in g)
 
 
 def test_rank_histogram_uniform_for_calibrated():
