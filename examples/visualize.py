@@ -30,11 +30,21 @@ def main():
     cfg = load_config(args.config)
     trainer = Trainer(cfg)
     data_key = next(iter(cfg.data.low_res_dir))
+    # tiled module: defines the model's per-tile geometry (what it trained on)
     dm = trainer._make_data_module(data_key)
     dm.setup()
     trainer._build_model(dm, data_key)
     model = trainer._phase_model(dm, data_key)
     trainer.params = trainer._init_params(model, dm)
+    # UNTILED module: locates the full test sample for stitched inference —
+    # the reference builds a second dm_vis with div=1/overlap=0
+    # (visualize.py:360-378); feeding the tiled module here would treat one
+    # halo tile as the whole field and re-tile it
+    if cfg.tiling.effective_div > 1:
+        dm_vis = trainer._make_data_module(data_key, div=1, overlap=0)
+        dm_vis.setup()
+    else:
+        dm_vis = dm
 
     path = args.checkpoint or cfg.trainer.checkpoint or ck.latest_checkpoint(
         trainer.checkpoint_dir)
@@ -51,12 +61,13 @@ def main():
         tuple(out_vars), deterministic=True))
 
     res = visualize_at_index(
-        fwd, dm, index=args.index, div=cfg.tiling.effective_div,
+        fwd, dm_vis, index=args.index, div=cfg.tiling.effective_div,
         overlap=cfg.tiling.effective_overlap, mag=cfg.model.superres_mag,
         out_dir=args.out_dir,
     )
     for var, m in res["metrics"].items():
         logging.info("%s: PSNR=%.2f SSIM=%.4f", var, m["psnr"], m["ssim"])
+    return res
 
 
 if __name__ == "__main__":

@@ -58,10 +58,26 @@ class Trainer:
 
     # -- construction ---------------------------------------------------------
 
-    def _make_data_module(self, data_key: str) -> IterDataModule:
+    def _make_data_module(self, data_key: str, div: int = None,
+                          overlap: int = None) -> IterDataModule:
+        """div/overlap default to the config's tiling; inference drivers pass
+        div=1, overlap=0 for the UNTILED module that locates/stitches full
+        samples (the reference's dm_vis, visualize.py:360-378)."""
         c = self.cfg
+        # config task -> IterDataModule task string (reference examples pass
+        # "downscaling" / "direct-forecasting" / "continuous-forecasting")
+        dm_task = {"downscaling": "downscaling",
+                   "forecasting": "direct-forecasting"}.get(
+                       c.trainer.task, c.trainer.task)
+        kwargs = {}
+        if dm_task != "downscaling":
+            kwargs = dict(src="era5", history=c.data.history,
+                          window=c.data.window, pred_range=c.data.pred_range,
+                          random_lead_time=c.data.random_lead_time,
+                          max_pred_range=c.data.max_pred_range,
+                          hrs_each_step=c.data.hrs_each_step)
         return IterDataModule(
-            "downscaling",
+            dm_task,
             c.data.low_res_dir[data_key],
             c.data.high_res_dir[data_key],
             c.data.dict_in_variables[data_key],
@@ -73,9 +89,10 @@ class Trainer:
             buffer_size=c.trainer.buffer_size,
             num_workers=c.trainer.num_workers,
             drop_last=True,  # keep train-step shapes static for XLA
-            div=c.tiling.effective_div,
-            overlap=c.tiling.effective_overlap,
+            div=c.tiling.effective_div if div is None else div,
+            overlap=c.tiling.effective_overlap if overlap is None else overlap,
             seed=c.trainer.seed,
+            **kwargs,
         )
 
     def _check_tiling(self, data_module):
@@ -84,6 +101,11 @@ class Trainer:
         c = self.cfg
         if c.tiling.effective_div <= 1:
             return
+        if c.trainer.task != "downscaling":
+            raise ValueError(
+                "TILES tiling is a downscaling-only feature (reference "
+                "iterdataset.py:90-177); disable tiling.do_tiling for "
+                f"task={c.trainer.task}")
         in_shape, _ = data_module.get_data_dims()
         _, h, w = in_shape[1:]
         p = c.model.patch_size
@@ -95,8 +117,15 @@ class Trainer:
             )
 
     def _build_model(self, data_module, data_key: str):
-        from orbit2_tpu.utils.loaders import load_downscaling_module  # circular-safe
+        # circular-safe import; loader choice mirrors the reference's
+        # per-task module factories (its loaders.py:225-257)
+        from orbit2_tpu.utils.loaders import (
+            load_downscaling_module,
+            load_forecasting_module,
+        )
 
+        loader = (load_downscaling_module if self.cfg.trainer.task ==
+                  "downscaling" else load_forecasting_module)
         c = self.cfg
         self._check_tiling(data_module)
         model_kwargs = dict(
@@ -117,7 +146,7 @@ class Trainer:
             remat_policy=c.trainer.remat_policy,
         )
         (model, train_loss, val_losses, test_losses, _, val_transforms,
-         test_transforms) = load_downscaling_module(
+         test_transforms) = loader(
             data_module=data_module, architecture=c.model.preset,
             train_loss=c.trainer.train_loss, model_kwargs=model_kwargs,
         )
@@ -131,8 +160,13 @@ class Trainer:
     def _phase_model(self, data_module, data_key: str):
         c = self.cfg
         in_shape, _ = data_module.get_data_dims()
-        _, in_h, in_w = in_shape[1:]
+        # forecasting in_shape carries a history dim ([B,T,C,H,W]); the
+        # spatial dims are always the trailing two
+        in_h, in_w = in_shape[-2:]
         in_vars, out_vars = data_module.get_data_variables()
+        if not hasattr(self.model, "for_phase"):
+            # geometry-agnostic models (the forecasting ResNet preset)
+            return self.model
         m = self.model.for_phase(
             spatial_resolution=c.data.spatial_resolution[data_key],
             img_size=(in_h, in_w),
@@ -347,10 +381,16 @@ class Trainer:
         return self.history
 
     def validate(self, phase_model, dm, in_vars, out_vars, epoch: int):
-        # cache the jitted eval step per variable-set (one compile per phase)
-        # wrapped presets (PreInterpolated vit/unet/resnet) carry no img_size
-        ekey = (tuple(in_vars), tuple(out_vars),
-                getattr(phase_model, "img_size", None))
+        # cache the jitted eval step per (model, variable-set). Flax modules
+        # hash by config, so curriculum revisits of the same phase hit the
+        # cache; wrapped presets (PreInterpolated vit/unet/resnet) fall back
+        # to identity hash, distinguishing two different backbones even with
+        # identical var sets (their for_phase returns self, so id is stable)
+        try:
+            mkey = hash(phase_model)
+        except TypeError:  # unhashable config fields
+            mkey = id(phase_model)
+        ekey = (mkey, tuple(in_vars), tuple(out_vars))
         if not hasattr(self, "_eval_steps"):
             self._eval_steps = {}
         if ekey not in self._eval_steps:
