@@ -230,6 +230,85 @@ def test_load_reference_state_dict_rank_discovery(tmp_path, reference_model):
     np.testing.assert_allclose(single["pos_embed"], sd["pos_embed"])
 
 
+def test_training_trajectory_parity_with_torch_reference():
+    """K-step AdamW TRAINING trajectory against the actual torch reference:
+    same exported init, same synthetic batches, same lr/betas/weight decay,
+    both on CPU fp32 with dropout off. Per-step losses must agree to fp32
+    tolerance — this retires the backward/optimizer silent-numerics risk
+    that forward-only parity cannot catch (reference train step:
+    examples/intermediate_downscaling.py:281-306 with plain fp32
+    loss.backward()+optimizer.step() at :726-742, AdamW built by
+    loaders.py:398-399)."""
+    if not reference_available(REF_SRC):
+        pytest.skip("reference source or torch not available")
+    from orbit2_tpu.training.checkpoint import import_torch_state_dict
+    from orbit2_tpu.training.optim import make_optimizer
+    from orbit2_tpu.training.train import clip_replace_constant
+
+    K, LR, BETAS, WD = 5, 2e-3, (0.9, 0.99), 1e-5
+    ref = load_reference_model(
+        default_vars=DEFAULT_VARS, img_size=IMG,
+        in_channels=len(DEFAULT_VARS), out_channels=len(OUT_VARS),
+        spatial_resolution=RES, superres_mag=MAG, cnn_ratio=4, patch_size=P,
+        embed_dim=EMBED, depth=DEPTH, decoder_depth=DEC_DEPTH,
+        num_heads=HEADS, mlp_ratio=4.0, drop_path=0.0, drop_rate=0.0,
+        learn_pos_emb=True, ref_src=REF_SRC)
+    ref.train()
+    sd = {k: v.detach().cpu().numpy().copy()
+          for k, v in ref.state_dict().items()}  # init snapshot BEFORE steps
+
+    rng = np.random.default_rng(11)
+    xs = rng.normal(size=(K, 2, len(DEFAULT_VARS)) + IMG).astype(np.float32)
+    ys = rng.normal(size=(K, 2, len(OUT_VARS), IMG[0] * MAG, IMG[1] * MAG)
+                    ).astype(np.float32)
+    # make the precip channel's clamp active on both sides
+    prcp = OUT_VARS.index("total_precipitation_24hr")
+    ys[:, :, prcp] = np.abs(ys[:, :, prcp]) * 0.01
+
+    # --- torch trajectory (mirrors the reference training_step) ---
+    opt_t = torch.optim.AdamW(ref.parameters(), lr=LR, betas=BETAS,
+                              weight_decay=WD)
+    losses_t = []
+    for k in range(K):
+        yhat = ref(torch.from_numpy(xs[k]), list(DEFAULT_VARS), list(OUT_VARS))
+        yhat = torch.where(
+            torch.arange(yhat.shape[1])[None, :, None, None] == prcp,
+            torch.clamp(yhat, min=0.0), yhat)  # clip_replace_constant :267-271
+        loss = torch.mean((yhat - torch.from_numpy(ys[k])) ** 2)
+        opt_t.zero_grad()
+        loss.backward()
+        opt_t.step()
+        losses_t.append(float(loss.detach()))
+
+    # --- jax trajectory from the SAME init (the pre-step snapshot) ---
+    params = jax.tree.map(jnp.asarray,
+                          import_torch_state_dict(sd, depth=DEPTH,
+                                                  decoder_depth=DEC_DEPTH))
+    model = _flax_model()
+
+    def loss_fn(p, x, y):
+        yhat = model.apply({"params": p}, x, DEFAULT_VARS, OUT_VARS,
+                           deterministic=True)
+        yhat = clip_replace_constant(y, yhat, OUT_VARS)
+        return jnp.mean((yhat - y) ** 2)
+
+    opt_j = make_optimizer("adamw", {"lr": LR, "betas": BETAS,
+                                     "weight_decay": WD})
+    state = opt_j.init(params)
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+
+    losses_j = []
+    for k in range(K):
+        loss, grads = grad_fn(params, jnp.asarray(xs[k]), jnp.asarray(ys[k]))
+        updates, state = opt_j.update(grads, state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        losses_j.append(float(loss))
+
+    np.testing.assert_allclose(losses_j, losses_t, rtol=2e-4, atol=1e-6)
+    # the trajectory must actually move (first->last loss changes)
+    assert abs(losses_t[0] - losses_t[-1]) > 1e-5
+
+
 def test_exported_checkpoint_loads_into_torch_reference(reference_model):
     """The reverse interop: a flax-side param tree exported with
     export_torch_state_dict must load_state_dict(strict=True) into the torch
