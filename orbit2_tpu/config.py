@@ -40,6 +40,11 @@ class TrainerConfig:
     # fp32 = exact torch-AdamW parity.
     adam_mu_dtype: str = "float32"
     seed: int = 0
+    # training task: downscaling (reference intermediate_downscaling.py) or
+    # forecasting/continuous-forecasting (reference load_forecasting_module,
+    # loaders.py:225-236; DirectForecast/ContinuousForecast iterdataset
+    # wrappers). Forecast data knobs live under data: (history/window/...).
+    task: str = "downscaling"
     # epochs trained per dataset phase before rotating to the next data_key
     # (reference interval_epochs=1, intermediate_downscaling.py:490)
     interval_epochs: int = 1
@@ -49,6 +54,11 @@ class TrainerConfig:
     grad_accum: int = 1
 
     def validate(self):
+        if self.task not in ("downscaling", "forecasting",
+                             "continuous-forecasting"):
+            raise ConfigError(
+                "task must be downscaling|forecasting|continuous-forecasting,"
+                f" got {self.task}")
         if self.data_type not in ("bfloat16", "float32"):
             raise ConfigError(f"data_type must be bfloat16|float32, got {self.data_type}")
         if self.remat_policy not in ("full", "dots"):
@@ -156,6 +166,14 @@ class DataConfig:
     dict_in_variables: Dict[str, List[str]] = field(default_factory=dict)
     dict_out_variables: Dict[str, List[str]] = field(default_factory=dict)
     var_weights: Dict[str, float] = field(default_factory=dict)
+    # forecasting-task knobs (unused for downscaling): reference
+    # IterDataModule defaults (itermodule.py:39-58)
+    history: int = 1
+    window: int = 6
+    pred_range: int = 6
+    random_lead_time: bool = True
+    max_pred_range: int = 120
+    hrs_each_step: int = 1
 
     def validate(self):
         if set(self.low_res_dir) != set(self.high_res_dir):
@@ -165,6 +183,12 @@ class DataConfig:
                 raise ConfigError(f"dict_in_variables missing data key {key}")
             if key not in self.dict_out_variables:
                 raise ConfigError(f"dict_out_variables missing data key {key}")
+            if key not in self.spatial_resolution:
+                # extra spatial_resolution keys are fine (the reference ships
+                # all five dataset keys with only two active) but every
+                # ACTIVE phase needs one — a typo'd key would otherwise fail
+                # deep inside model.for_phase
+                raise ConfigError(f"spatial_resolution missing data key {key}")
             for v in self.dict_in_variables[key]:
                 if v not in self.default_vars:
                     raise ConfigError(f"in variable {v} not in default_vars")

@@ -207,6 +207,146 @@ def test_trainer_multiphase_curriculum(synth_dataset, tmp_path):
     assert all(np.isfinite(h["loss"]) for h in hist)
 
 
+def test_trainer_multiphase_changed_var_sets(synth_dataset, tmp_path):
+    """Curriculum phases with DIFFERENT in-variable lists — the reference's
+    active 1b recipe pairs a 23-var ERA5 phase with a 7-var PRISM phase
+    (reference configs/interm_1b.yaml:112-190). Exercises the per-variable
+    token gather (models/res_slimvit.py var_ids) with a changed id set
+    across jit specializations while params stay shared."""
+    import numpy as np
+    from orbit2_tpu.config import load_config
+    from orbit2_tpu.training.trainer import Trainer
+
+    ds = synth_dataset
+    # phase 1 ("ERA5") takes an extra atmospheric variable on top of the
+    # PRISM-style 7; the 4 statics + out vars must stay in every in-list
+    # (find_var_index, models/res_slimvit.py:53-56 = reference :302-310)
+    base_in = list(ds["in_vars"])
+    extended_in = base_in + ["2m_temperature"]
+    rng = np.random.default_rng(13)
+    root2 = tmp_path / "era5_low"
+    T, H, W = 8, 16, 32
+    for split in ("train", "val", "test"):
+        d = root2 / split
+        d.mkdir(parents=True, exist_ok=True)
+        for i in range(2):  # match ds["high"]'s shard count (paired lists)
+            np.savez(d / f"shard_{i}.npz",
+                     **{v: rng.normal(280, 10, (T, 1, H, W)).astype(np.float32)
+                        for v in extended_in})
+        np.savez(d / "climatology.npz",
+                 **{v: rng.normal(280, 1, (1, H, W)).astype(np.float32)
+                    for v in extended_in})
+    np.save(root2 / "lat.npy", np.linspace(-88, 88, H).astype(np.float32))
+    np.save(root2 / "lon.npy", np.linspace(0, 358, W).astype(np.float32))
+    np.savez(root2 / "normalize_mean.npz",
+             **{v: np.array([280.0], np.float32) for v in extended_in})
+    np.savez(root2 / "normalize_std.npz",
+             **{v: np.array([10.0], np.float32) for v in extended_in})
+
+    cfg = load_config({
+        "trainer": {"max_epochs": 2, "batch_size": 2, "buffer_size": 4,
+                    "data_type": "float32", "train_loss": "bayesian_tv",
+                    "remat": False, "interval_epochs": 1},
+        "parallelism": {"fsdp": 2, "simple_ddp": 1, "tensor_par": 1},
+        "model": {"preset": "res_slimvit", "lr": 1e-3, "warmup_epochs": 1,
+                  "embed_dim": 32, "depth": 1, "decoder_depth": 1,
+                  "num_heads": 2, "patch_size": 2, "drop_path": 0.0,
+                  "drop_rate": 0.0, "attention_impl": "xla"},
+        "data": {
+            "low_res_dir": {"ERA5": str(root2), "PRISM": ds["low"]},
+            "high_res_dir": {"ERA5": ds["high"], "PRISM": ds["high"]},
+            "spatial_resolution": {"ERA5": 625, "PRISM": 18},
+            "default_vars": extended_in,
+            "dict_in_variables": {"ERA5": extended_in, "PRISM": base_in},
+            "dict_out_variables": {"ERA5": list(ds["out_vars"]),
+                                   "PRISM": list(ds["out_vars"])},
+            "var_weights": {},
+        },
+    })
+    t = Trainer(cfg, checkpoint_dir=str(tmp_path / "ck"))
+    hist = t.fit(max_epochs=2, max_steps_per_epoch=2)
+    assert [h["data_key"] for h in hist] == ["ERA5", "PRISM"]
+    assert all(np.isfinite(h["loss"]) for h in hist)
+
+
+def test_trainer_forecasting_end_to_end(synth_dataset, tmp_path):
+    """task=forecasting trains end-to-end through config+Trainer:
+    DirectForecast pairs (reference iterdataset.py:194-240), the
+    rasp-theurey-2020 ResNet preset (reference loaders.py:295-303), and
+    lat-weighted MSE — same-resolution in/out so the low dir serves both."""
+    from orbit2_tpu.config import load_config
+    from orbit2_tpu.training.trainer import Trainer
+
+    ds = synth_dataset
+    cfg = load_config({
+        "trainer": {"max_epochs": 1, "batch_size": 2, "buffer_size": 4,
+                    "num_workers": 0, "data_type": "float32",
+                    "train_loss": "lat_mse", "remat": False,
+                    "task": "forecasting"},
+        "parallelism": {"fsdp": 2},
+        "model": {"preset": "rasp-theurey-2020", "lr": 1e-3,
+                  "warmup_epochs": 1, "drop_rate": 0.1},
+        "data": {
+            "low_res_dir": {"ERA5": ds["low"]},
+            "high_res_dir": {"ERA5": ds["low"]},  # forecasting: same grid
+            "spatial_resolution": {"ERA5": 625},
+            "default_vars": list(ds["in_vars"]),
+            "dict_in_variables": {"ERA5": list(ds["in_vars"])},
+            "dict_out_variables": {"ERA5": list(ds["out_vars"])},
+            "var_weights": {},
+            "history": 1, "window": 1, "pred_range": 2,
+        },
+    })
+    t = Trainer(cfg, checkpoint_dir=str(tmp_path / "ck"))
+    hist = t.fit(max_epochs=1, max_steps_per_epoch=2)
+    assert hist and np.isfinite(hist[0]["loss"])
+    assert t.aux  # ResNet BatchNorm stats threaded through the step
+
+
+def test_tiling_rejected_for_forecasting(synth_dataset, tmp_path):
+    from orbit2_tpu.config import load_config
+    from orbit2_tpu.training.trainer import Trainer
+
+    ds = synth_dataset
+    cfg = load_config({
+        "trainer": {"max_epochs": 1, "batch_size": 2, "buffer_size": 4,
+                    "train_loss": "lat_mse", "task": "forecasting",
+                    "data_type": "float32"},
+        "tiling": {"do_tiling": True, "div": 2, "overlap": 2},
+        "model": {"preset": "rasp-theurey-2020", "lr": 1e-3},
+        "data": {
+            "low_res_dir": {"ERA5": ds["low"]},
+            "high_res_dir": {"ERA5": ds["low"]},
+            "spatial_resolution": {"ERA5": 625},
+            "default_vars": list(ds["in_vars"]),
+            "dict_in_variables": {"ERA5": list(ds["in_vars"])},
+            "dict_out_variables": {"ERA5": list(ds["out_vars"])},
+        },
+    })
+    t = Trainer(cfg, checkpoint_dir=str(tmp_path / "ck"))
+    with pytest.raises(ValueError, match="downscaling-only"):
+        t.fit(max_epochs=1, max_steps_per_epoch=1)
+
+
+def test_spatial_resolution_key_cross_check():
+    """DataConfig.validate rejects an active data key with no
+    spatial_resolution entry (silent-typo guard, round-2 weak #7)."""
+    import pytest as _pytest
+    from orbit2_tpu.config import ConfigError, load_config
+
+    with _pytest.raises(ConfigError, match="spatial_resolution"):
+        load_config({
+            "data": {
+                "low_res_dir": {"PRISM": "/x"},
+                "high_res_dir": {"PRISM": "/y"},
+                "spatial_resolution": {"ERA5_1": 625},  # PRISM missing
+                "default_vars": ["a"],
+                "dict_in_variables": {"PRISM": ["a"]},
+                "dict_out_variables": {"PRISM": ["a"]},
+            },
+        })
+
+
 def test_trainer_test_split(tiny_config, tmp_path):
     """Trainer.test(): test losses (rmse/pearson/mean_bias) with denormalize
     transforms over the test split."""
