@@ -237,6 +237,13 @@ class Trainer:
 
     def _put_batch(self, x, y):
         sh = batch_sharding(self.mesh)
+        if jax.process_count() > 1:
+            # each process loads its own file-shard of the data
+            # (data_par_rank=process_index); the local batches concatenate
+            # into the global batch along the data axes — device_put cannot
+            # address remote devices, this can
+            return (jax.make_array_from_process_local_data(sh, np.asarray(x)),
+                    jax.make_array_from_process_local_data(sh, np.asarray(y)))
         return (jax.device_put(jnp.asarray(x), sh), jax.device_put(jnp.asarray(y), sh))
 
     # -- main loop -------------------------------------------------------------
