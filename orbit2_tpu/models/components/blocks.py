@@ -61,8 +61,33 @@ class LayerScale(nn.Module):
         return x * gamma.astype(x.dtype)
 
 
+class _DenseParams(nn.Module):
+    """Parameter container with nn.Dense's exact tree ({kernel, bias}) so
+    the fused and unfused MLP paths share one checkpoint layout."""
+
+    in_features: int
+    features: int
+    use_bias: bool = True
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", trunc_normal_init,
+                       (self.in_features, self.features), self.param_dtype)
+        b = (self.param("bias", nn.initializers.zeros_init(),
+                        (self.features,), self.param_dtype)
+             if self.use_bias else None)
+        return k, b
+
+
 class Mlp(nn.Module):
-    """fc1 -> GELU -> drop -> fc2 -> drop (reference mlp.py:22-73)."""
+    """fc1 -> GELU -> drop -> fc2 -> drop (reference mlp.py:22-73).
+
+    On a single TPU device the whole chain runs as ONE pallas kernel
+    (ops/fused_mlp.py): the [T, hidden] activation never touches HBM and
+    both dropout masks are regenerated in-kernel. Under a mesh or off-TPU
+    the XLA chain below is numerically the same computation (the kernel
+    evaluates GELU in fp32; XLA's bf16 path differs only in rounding)."""
 
     hidden_features: int
     out_features: Optional[int] = None
@@ -73,21 +98,38 @@ class Mlp(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        from orbit2_tpu.ops.fused_mlp import fused_mlp
+
         out_features = self.out_features or x.shape[-1]
-        x = nn.Dense(
-            self.hidden_features, use_bias=self.use_bias, dtype=self.dtype,
-            param_dtype=self.param_dtype, kernel_init=trunc_normal_init, name="fc1",
-        )(x)
-        x = nn.gelu(x, approximate=False)
-        x = fused_drop(x, self.drop, deterministic,
+        k1, b1 = _DenseParams(x.shape[-1], self.hidden_features,
+                              self.use_bias, self.param_dtype, name="fc1")()
+        k2, b2 = _DenseParams(self.hidden_features, out_features,
+                              self.use_bias, self.param_dtype, name="fc2")()
+        rate = 0.0 if deterministic else self.drop
+
+        xd = x.astype(self.dtype)
+        fused = fused_mlp(
+            xd, k1.astype(self.dtype),
+            None if b1 is None else b1.astype(self.dtype),
+            k2.astype(self.dtype),
+            None if b2 is None else b2.astype(self.dtype),
+            drop_rate=rate,
+            rng=self.make_rng("dropout") if rate > 0.0 else None)
+        if fused is not None:
+            return fused
+
+        h = xd @ k1.astype(self.dtype)
+        if b1 is not None:
+            h = h + b1.astype(self.dtype)
+        h = nn.gelu(h, approximate=False)
+        h = fused_drop(h, self.drop, deterministic,
                        lambda: self.make_rng("dropout"))
-        x = nn.Dense(
-            out_features, use_bias=self.use_bias, dtype=self.dtype,
-            param_dtype=self.param_dtype, kernel_init=trunc_normal_init, name="fc2",
-        )(x)
-        x = fused_drop(x, self.drop, deterministic,
-                       lambda: self.make_rng("dropout"))
-        return x
+        out = h @ k2.astype(self.dtype)
+        if b2 is not None:
+            out = out + b2.astype(self.dtype)
+        out = fused_drop(out, self.drop, deterministic,
+                         lambda: self.make_rng("dropout"))
+        return out
 
 
 class Attention(nn.Module):

@@ -1,0 +1,145 @@
+"""Fused MLP pallas kernel (interpret mode on the CPU mesh).
+
+Forward and gradients vs the plain XLA chain at rate 0, and vs a
+masked XLA reference built from the kernel's OWN regenerated dropout masks
+(the same fwd/bwd seed-mapping guarantee the flash-attention dropout tests
+enforce).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from orbit2_tpu.ops.fused_mlp import fused_mlp
+from orbit2_tpu.ops.kernel_prng import keep_mult
+
+T, D, F, D2 = 64, 128, 256, 128
+BT, BF = 32, 128  # multi-block in both grid dims
+
+
+def _inputs(seed=0, dtype=jnp.float32):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.normal(size=(T, D)) * 0.5, dtype)
+    w1 = jnp.asarray(rng.normal(size=(D, F)) * (D ** -0.5), dtype)
+    b1 = jnp.asarray(rng.normal(size=(F,)) * 0.1, dtype)
+    w2 = jnp.asarray(rng.normal(size=(F, D2)) * (F ** -0.5), dtype)
+    b2 = jnp.asarray(rng.normal(size=(D2,)) * 0.1, dtype)
+    return x, w1, b1, w2, b2
+
+
+def _xla_mlp(x, w1, b1, w2, b2, m1=None, m2=None):
+    h = jax.nn.gelu(x @ w1 + b1, approximate=False)
+    if m1 is not None:
+        h = h * m1
+    out = h @ w2 + b2
+    if m2 is not None:
+        out = out * m2
+    return out
+
+
+def test_forward_matches_xla():
+    x, w1, b1, w2, b2 = _inputs()
+    got = fused_mlp(x, w1, b1, w2, b2, force=True, block_t=BT, block_f=BF)
+    assert got is not None
+    want = _xla_mlp(x, w1, b1, w2, b2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_gradients_match_xla():
+    x, w1, b1, w2, b2 = _inputs(1)
+
+    def loss_fused(*args):
+        return jnp.sum(fused_mlp(*args, force=True,
+                                 block_t=BT, block_f=BF) ** 2)
+
+    def loss_xla(*args):
+        return jnp.sum(_xla_mlp(*args) ** 2)
+
+    g_fused = jax.grad(loss_fused, argnums=tuple(range(5)))(x, w1, b1, w2, b2)
+    g_xla = jax.grad(loss_xla, argnums=tuple(range(5)))(x, w1, b1, w2, b2)
+    for name, a, b in zip(("dx", "dw1", "db1", "dw2", "db2"), g_fused, g_xla):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=2e-4, err_msg=name)
+        assert a.shape == b.shape, name
+
+
+def _full_masks(seed, rate):
+    """Assemble the kernel's per-block masks into full [T, F] / [T, D2]
+    multipliers using the same fold formulas (fused_mlp._mask1/_mask2)."""
+    m1 = np.zeros((T, F), np.float32)
+    m2 = np.zeros((T, D2), np.float32)
+    for t in range(T // BT):
+        for f in range(F // BF):
+            blk = keep_mult(seed[0] + t * 1000003 + f * 7919,
+                            (BT, BF), rate)
+            m1[t * BT:(t + 1) * BT, f * BF:(f + 1) * BF] = np.asarray(blk)
+        m2[t * BT:(t + 1) * BT] = np.asarray(
+            keep_mult(seed[1] + t * 1000003, (BT, D2), rate))
+    return jnp.asarray(m1), jnp.asarray(m2)
+
+
+def test_dropout_forward_and_grads_match_masked_reference():
+    rate = 0.25
+    x, w1, b1, w2, b2 = _inputs(2)
+    key = jax.random.PRNGKey(5)
+    seed = np.asarray(jax.random.randint(key, (2,), -2 ** 31, 2 ** 31 - 1,
+                                         dtype=jnp.int32))
+    m1, m2 = _full_masks(seed, rate)
+
+    got = fused_mlp(x, w1, b1, w2, b2, drop_rate=rate, rng=key,
+                    force=True, block_t=BT, block_f=BF)
+    want = _xla_mlp(x, w1, b1, w2, b2, m1, m2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
+
+    def loss_fused(*args):
+        return jnp.sum(fused_mlp(*args, drop_rate=rate, rng=key,
+                                 force=True, block_t=BT, block_f=BF) ** 2)
+
+    def loss_ref(*args):
+        return jnp.sum(_xla_mlp(*args, m1, m2) ** 2)
+
+    g_fused = jax.grad(loss_fused, argnums=tuple(range(5)))(x, w1, b1, w2, b2)
+    g_ref = jax.grad(loss_ref, argnums=tuple(range(5)))(x, w1, b1, w2, b2)
+    for name, a, b in zip(("dx", "dw1", "db1", "dw2", "db2"), g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=5e-4, err_msg=name)
+
+
+def test_dropout_mask_statistics():
+    rate = 0.5
+    x, w1, b1, w2, b2 = _inputs(3)
+    ones = jnp.ones_like(x)
+    # with identity-ish weights the zero pattern of the output dropout is
+    # directly visible: count kept fraction over many elements
+    out = fused_mlp(ones, w1, b1, w2, b2, drop_rate=rate,
+                    rng=jax.random.PRNGKey(9), force=True,
+                    block_t=BT, block_f=BF)
+    kept = float(jnp.mean((out != 0).astype(jnp.float32)))
+    assert 0.35 < kept < 0.65  # ~keep fraction of the OUTPUT mask
+
+
+def test_fallbacks():
+    x, w1, b1, w2, b2 = _inputs(4)
+    # off-TPU without force -> None (dispatcher policy)
+    assert fused_mlp(x, w1, b1, w2, b2) is None
+    # non-tiling shape -> None
+    bad = jnp.zeros((T, D + 3))
+    assert fused_mlp(bad, jnp.zeros((D + 3, F)), b1, w2, b2,
+                     force=True) is None
+    # missing bias -> None
+    assert fused_mlp(x, w1, None, w2, b2, force=True) is None
+
+
+def test_batched_input_shape():
+    """[B, N, D] inputs flatten and reshape back."""
+    x, w1, b1, w2, b2 = _inputs(6)
+    xb = x.reshape(4, T // 4, D)
+    got = fused_mlp(xb, w1, b1, w2, b2, force=True,
+                    block_t=BT, block_f=BF)
+    assert got.shape == (4, T // 4, D2)
+    want = _xla_mlp(xb, w1, b1, w2, b2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
