@@ -83,11 +83,16 @@ class _DenseParams(nn.Module):
 class Mlp(nn.Module):
     """fc1 -> GELU -> drop -> fc2 -> drop (reference mlp.py:22-73).
 
-    On a single TPU device the whole chain runs as ONE pallas kernel
-    (ops/fused_mlp.py): the [T, hidden] activation never touches HBM and
-    both dropout masks are regenerated in-kernel. Under a mesh or off-TPU
-    the XLA chain below is numerically the same computation (the kernel
-    evaluates GELU in fp32; XLA's bf16 path differs only in rounding)."""
+    DETERMINISTIC forwards (eval/inference) on a single TPU device run the
+    whole chain as ONE pallas kernel (ops/fused_mlp.py): the [T, hidden]
+    activation never touches HBM — measured 60.4 -> 55.8 ms on the full
+    117M forward. TRAINING keeps the XLA chain: the same kernel beats XLA
+    by ~1.8 ms/layer in isolation but loses ~17 ms in the full train step,
+    because the custom-call boundary blocks XLA's LN/residual/dropout
+    fusion and scheduling overlap (docs/performance.md, fused-MLP section).
+    Off-TPU / under a mesh the XLA chain is numerically the same
+    computation (the kernel evaluates GELU in fp32; XLA's bf16 path
+    differs only in rounding)."""
 
     hidden_features: int
     out_features: Optional[int] = None
@@ -105,18 +110,15 @@ class Mlp(nn.Module):
                               self.use_bias, self.param_dtype, name="fc1")()
         k2, b2 = _DenseParams(self.hidden_features, out_features,
                               self.use_bias, self.param_dtype, name="fc2")()
-        rate = 0.0 if deterministic else self.drop
-
         xd = x.astype(self.dtype)
-        fused = fused_mlp(
-            xd, k1.astype(self.dtype),
-            None if b1 is None else b1.astype(self.dtype),
-            k2.astype(self.dtype),
-            None if b2 is None else b2.astype(self.dtype),
-            drop_rate=rate,
-            rng=self.make_rng("dropout") if rate > 0.0 else None)
-        if fused is not None:
-            return fused
+        if deterministic:
+            fused = fused_mlp(
+                xd, k1.astype(self.dtype),
+                None if b1 is None else b1.astype(self.dtype),
+                k2.astype(self.dtype),
+                None if b2 is None else b2.astype(self.dtype))
+            if fused is not None:
+                return fused
 
         h = xd @ k1.astype(self.dtype)
         if b1 is not None:

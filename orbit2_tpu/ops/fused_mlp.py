@@ -54,24 +54,69 @@ _INV_SQRT2 = 0.7071067811865476
 _INV_SQRT_2PI = 0.3989422804014327
 
 
+def _erf(x):
+    """erf via Abramowitz-Stegun 7.1.26 (max abs error 1.5e-7) — Mosaic has
+    no erf lowering, but exp is native. fp32 in/out."""
+    s = jnp.sign(x)
+    a = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * a)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    return s * (1.0 - poly * jnp.exp(-a * a))
+
+
 def _gelu(x):
-    """Exact GELU: x * Phi(x), fp32 (nn.gelu(approximate=False))."""
-    return x * 0.5 * (1.0 + jax.lax.erf(x * _INV_SQRT2))
+    """Exact-form GELU: x * Phi(x), fp32 (nn.gelu(approximate=False);
+    erf approximated to 1.5e-7 — far below bf16 resolution)."""
+    return x * 0.5 * (1.0 + _erf(x * _INV_SQRT2))
 
 
 def _dgelu(x):
     """d/dx gelu(x) = Phi(x) + x * phi(x), fp32."""
     phi = jnp.exp(-0.5 * x * x) * _INV_SQRT_2PI
-    big_phi = 0.5 * (1.0 + jax.lax.erf(x * _INV_SQRT2))
+    big_phi = 0.5 * (1.0 + _erf(x * _INV_SQRT2))
     return big_phi + x * phi
 
 
+_MASK_UNIT = 256
+
+
+def _units(n):
+    """Mask-unit edge for a block edge of n: fixed 256 when it divides, the
+    whole edge otherwise (tiny test blocks). All kernels of one fused_mlp
+    call see block edges that are either multiples of 256 or equal to each
+    other, so the unit decomposition — and therefore the regenerated mask
+    bits — is identical across the fwd/dx/dw kernels even though the dw
+    kernel runs smaller blocks."""
+    return _MASK_UNIT if n % _MASK_UNIT == 0 else n
+
+
+def _unit_grid(seed, t0, f0, shape, rate):
+    """Mask multiplier for a block whose top-left sits at unit coords
+    (t0, f0), assembled from per-unit PRNG draws."""
+    ut, uf = _units(shape[0]), _units(shape[1])
+    rows = []
+    for i in range(shape[0] // ut):
+        cols = [keep_mult(seed + (t0 + i) * 1000003 + (f0 + j) * 7919,
+                          (ut, uf), rate)
+                for j in range(shape[1] // uf)]
+        rows.append(cols[0] if len(cols) == 1 else jnp.concatenate(cols, 1))
+    return rows[0] if len(rows) == 1 else jnp.concatenate(rows, 0)
+
+
 def _mask1(seed_ref, t, f, shape, rate):
-    return keep_mult(seed_ref[0] + t * 1000003 + f * 7919, shape, rate)
+    ut, uf = _units(shape[0]), _units(shape[1])
+    return _unit_grid(seed_ref[0], t * (shape[0] // ut), f * (shape[1] // uf),
+                      shape, rate)
 
 
 def _mask2(seed_ref, t, shape, rate):
-    return keep_mult(seed_ref[1] + t * 1000003, shape, rate)
+    # output mask: rows unit-decomposed, full width (no f split anywhere)
+    ut = _units(shape[0])
+    rows = [keep_mult(seed_ref[1] + (t * (shape[0] // ut) + i) * 1000003,
+                      (ut, shape[1]), rate)
+            for i in range(shape[0] // ut)]
+    return rows[0] if len(rows) == 1 else jnp.concatenate(rows, 0)
 
 
 # ---------------------------------------------------------------- forward
@@ -200,11 +245,15 @@ def _dw_kernel(seed_ref, x_ref, w1_ref, b1_ref, w2_ref, do_ref,
     dw1_acc[...] += jax.lax.dot_general(
         x, dpre.astype(x.dtype), (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    db1_acc[...] += jnp.sum(dpre, axis=0, keepdims=True)
+    # bias grads kept sublane-replicated (8 rows) — (1, N) f32 stores break
+    # the TPU (8, 128) tiling (same trick as the flash kernel's lse)
+    db1_acc[...] += jnp.broadcast_to(
+        jnp.sum(dpre, axis=0, keepdims=True), db1_acc.shape)
 
     @pl.when(f == 0)
     def _db2():
-        db2_acc[...] += jnp.sum(do, axis=0, keepdims=True)
+        db2_acc[...] += jnp.broadcast_to(
+            jnp.sum(do, axis=0, keepdims=True), db2_acc.shape)
 
     @pl.when(t == nt - 1)
     def _done():
@@ -239,40 +288,47 @@ def _bwd(x, w1, b1, w2, seed, rate, bt, bf, do):
         interpret=_interpret(),
     )(seed, x, w1, b1, w2, do)
 
+    # the dw kernel runs smaller blocks: at 512x512 its VMEM working set
+    # (4 streamed blocks + 4 fp32 accumulators) makes the TPU compiler crash
+    # when the surrounding graph also carries LN-backward fusions — 256x256
+    # compiles everywhere and the dW matmuls keep a big contraction dim
+    # (measured bisection: scripts/debug_fused_compile*.py)
+    bt_dw, bf_dw = min(bt, 256), min(bf, 256)
+    nt_dw, nf_dw = tt // bt_dw, f // bf_dw
     dw1, db1, dw2, db2 = pl.pallas_call(
-        functools.partial(_dw_kernel, nt=nt, rate=rate),
-        grid=(nf, nt),
+        functools.partial(_dw_kernel, nt=nt_dw, rate=rate),
+        grid=(nf_dw, nt_dw),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((bt, d), lambda f_, t: (t, 0)),
-            pl.BlockSpec((d, bf), lambda f_, t: (0, f_)),
-            pl.BlockSpec((1, bf), lambda f_, t: (0, f_)),
-            pl.BlockSpec((bf, d2), lambda f_, t: (f_, 0)),
-            pl.BlockSpec((bt, d2), lambda f_, t: (t, 0)),
+            pl.BlockSpec((bt_dw, d), lambda f_, t: (t, 0)),
+            pl.BlockSpec((d, bf_dw), lambda f_, t: (0, f_)),
+            pl.BlockSpec((1, bf_dw), lambda f_, t: (0, f_)),
+            pl.BlockSpec((bf_dw, d2), lambda f_, t: (f_, 0)),
+            pl.BlockSpec((bt_dw, d2), lambda f_, t: (t, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((d, bf), lambda f_, t: (0, f_)),
-            pl.BlockSpec((1, bf), lambda f_, t: (0, f_)),
-            pl.BlockSpec((bf, d2), lambda f_, t: (f_, 0)),
-            pl.BlockSpec((1, d2), lambda f_, t: (0, 0)),
+            pl.BlockSpec((d, bf_dw), lambda f_, t: (0, f_)),
+            pl.BlockSpec((8, bf_dw), lambda f_, t: (0, f_)),
+            pl.BlockSpec((bf_dw, d2), lambda f_, t: (f_, 0)),
+            pl.BlockSpec((8, d2), lambda f_, t: (0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct(w1.shape, jnp.float32),
-            jax.ShapeDtypeStruct((1, f), jnp.float32),
+            jax.ShapeDtypeStruct((8, f), jnp.float32),
             jax.ShapeDtypeStruct(w2.shape, jnp.float32),
-            jax.ShapeDtypeStruct((1, d2), jnp.float32),
+            jax.ShapeDtypeStruct((8, d2), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((d, bf), jnp.float32),
-            pltpu.VMEM((1, bf), jnp.float32),
-            pltpu.VMEM((bf, d2), jnp.float32),
-            pltpu.VMEM((1, d2), jnp.float32),
+            pltpu.VMEM((d, bf_dw), jnp.float32),
+            pltpu.VMEM((8, bf_dw), jnp.float32),
+            pltpu.VMEM((bf_dw, d2), jnp.float32),
+            pltpu.VMEM((8, d2), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=_interpret(),
     )(seed, x, w1, b1, w2, do)
-    return dx, dw1, db1, dw2, db2
+    return dx, dw1, db1[0:1], dw2, db2[0:1]
 
 
 # ---------------------------------------------------------------- wrapper

@@ -133,6 +133,29 @@ def test_fallbacks():
     assert fused_mlp(x, w1, None, w2, b2, force=True) is None
 
 
+def test_mask_units_consistent_across_block_sizes():
+    """The dw kernel runs 256-blocks while fwd/dx run up to 512-blocks; the
+    dropout masks are drawn on a fixed 256-unit grid so all three kernels
+    regenerate identical bits regardless of their own block size."""
+    from orbit2_tpu.ops.fused_mlp import _mask1, _mask2
+
+    seed = jnp.asarray([1234567, 7654321], jnp.int32)
+    rate = 0.3
+    # a (512, 512) fwd block at block coords (t=1, f=2)
+    big = np.asarray(_mask1(seed, 1, 2, (512, 512), rate))
+    # the same region as four (256, 256) dw blocks
+    for i in range(2):
+        for j in range(2):
+            small = np.asarray(_mask1(seed, 2 + i, 4 + j, (256, 256), rate))
+            np.testing.assert_array_equal(
+                big[i * 256:(i + 1) * 256, j * 256:(j + 1) * 256], small)
+    # output mask rows: (512, 128) block t=1 == two (256, 128) blocks 2,3
+    big2 = np.asarray(_mask2(seed, 1, (512, 128), rate))
+    for i in range(2):
+        small2 = np.asarray(_mask2(seed, 2 + i, (256, 128), rate))
+        np.testing.assert_array_equal(big2[i * 256:(i + 1) * 256], small2)
+
+
 def test_batched_input_shape():
     """[B, N, D] inputs flatten and reshape back."""
     x, w1, b1, w2, b2 = _inputs(6)
