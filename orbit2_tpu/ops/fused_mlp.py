@@ -266,23 +266,41 @@ def _dw_kernel(seed_ref, x_ref, w1_ref, b1_ref, w2_ref, do_ref,
 def _bwd(x, w1, b1, w2, seed, rate, bt, bf, do):
     tt, d = x.shape
     f, d2 = w2.shape
-    nt, nf = tt // bt, f // bf
+
+    # dx kernel holds an fp32 [bt, D] accumulator — shrink for large D
+    bt_dx, bf_dx = bt, bf
+
+    def _dx_vmem(bt_, bf_):
+        return (bt_ * d * 4 + bt_ * (d + d2) * x.dtype.itemsize +
+                2 * (d * bf_ + bf_ * d2) * x.dtype.itemsize +
+                3 * bt_ * bf_ * 4)
+
+    # with dropout the blocks must not shrink below the 256 mask unit or
+    # the regenerated bits would diverge from the forward's (fail loudly at
+    # compile instead of silently wrong grads)
+    floor_t = _MASK_UNIT if (rate > 0.0 and bt >= _MASK_UNIT) else 64
+    floor_f = _MASK_UNIT if (rate > 0.0 and bf >= _MASK_UNIT) else 128
+    while _dx_vmem(bt_dx, bf_dx) > _VMEM_BUDGET and bt_dx > floor_t:
+        bt_dx //= 2
+    while _dx_vmem(bt_dx, bf_dx) > _VMEM_BUDGET and bf_dx > floor_f:
+        bf_dx //= 2
+    nt, nf = tt // bt_dx, f // bf_dx
 
     dx = pl.pallas_call(
         functools.partial(_dx_kernel, nf=nf, rate=rate),
         grid=(nt, nf),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((bt, d), lambda t, f_: (t, 0)),
-            pl.BlockSpec((d, bf), lambda t, f_: (0, f_)),
-            pl.BlockSpec((1, bf), lambda t, f_: (0, f_)),
-            pl.BlockSpec((bf, d2), lambda t, f_: (f_, 0)),
-            pl.BlockSpec((bt, d2), lambda t, f_: (t, 0)),
+            pl.BlockSpec((bt_dx, d), lambda t, f_: (t, 0)),
+            pl.BlockSpec((d, bf_dx), lambda t, f_: (0, f_)),
+            pl.BlockSpec((1, bf_dx), lambda t, f_: (0, f_)),
+            pl.BlockSpec((bf_dx, d2), lambda t, f_: (f_, 0)),
+            pl.BlockSpec((bt_dx, d2), lambda t, f_: (t, 0)),
         ],
-        out_specs=pl.BlockSpec((bt, d), lambda t, f_: (t, 0)),
+        out_specs=pl.BlockSpec((bt_dx, d), lambda t, f_: (t, 0)),
         out_shape=jax.ShapeDtypeStruct((tt, d), x.dtype),
-        scratch_shapes=[pltpu.VMEM((bt, d), jnp.float32),
-                        pltpu.VMEM((bt, d2), x.dtype)],
+        scratch_shapes=[pltpu.VMEM((bt_dx, d), jnp.float32),
+                        pltpu.VMEM((bt_dx, d2), x.dtype)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=_interpret(),
@@ -292,8 +310,21 @@ def _bwd(x, w1, b1, w2, seed, rate, bt, bf, do):
     # (4 streamed blocks + 4 fp32 accumulators) makes the TPU compiler crash
     # when the surrounding graph also carries LN-backward fusions — 256x256
     # compiles everywhere and the dW matmuls keep a big contraction dim
-    # (measured bisection: scripts/debug_fused_compile*.py)
+    # (measured bisection: scripts/debug_fused_compile*.py). Large-D shapes
+    # shrink further to fit the fp32 [D, bf]/[bf, D2] accumulators; mask
+    # regeneration is block-size independent (fixed 256-unit grid).
     bt_dw, bf_dw = min(bt, 256), min(bf, 256)
+
+    def _dw_vmem(bt_, bf_):
+        return ((d * bf_ + bf_ * d2) * 4 +          # fp32 dW accumulators
+                2 * (d * bf_ + bf_ * d2) * x.dtype.itemsize +  # w blocks x2
+                2 * bt_ * (d + d2) * x.dtype.itemsize +        # x/do blocks
+                4 * bt_ * bf_ * 4)                   # h/dh/dpre tiles
+
+    while _dw_vmem(bt_dw, bf_dw) > _VMEM_BUDGET and bt_dw > floor_t:
+        bt_dw //= 2
+    while _dw_vmem(bt_dw, bf_dw) > _VMEM_BUDGET and bf_dw > floor_f:
+        bf_dw //= 2
     nt_dw, nf_dw = tt // bt_dw, f // bf_dw
     dw1, db1, dw2, db2 = pl.pallas_call(
         functools.partial(_dw_kernel, nt=nt_dw, rate=rate),
@@ -359,7 +390,10 @@ _core.defvjp(_core_fwd, _core_bwd)
 
 def _pick_blocks(tt, d, f, d2, itemsize):
     """Largest (bt, bf) from the default that divides the shapes and fits
-    the VMEM budget (double-buffered weight blocks + fp32 accumulators)."""
+    the FORWARD kernel's VMEM budget (x block + double-buffered weight
+    blocks + the fp32 [bt, D2] accumulator). The backward kernels pick
+    their own, smaller, blocks (_bwd) — large-D shapes like the 1B/10B
+    trunks fit the forward (serving) path even when training would not."""
     bt, bf = min(DEFAULT_BLOCK_T, tt), min(DEFAULT_BLOCK_F, f)
     while bt > 8 and tt % bt:
         bt //= 2
@@ -371,13 +405,13 @@ def _pick_blocks(tt, d, f, d2, itemsize):
     def vmem(bt_, bf_):
         x_blk = bt_ * d * itemsize
         w_blks = 2 * (d * bf_ + bf_ * d2) * itemsize  # double-buffered
-        accs = bt_ * d2 * 4 + max(d * bf_, bf_ * d2) * 4 * 2
-        h_tiles = 3 * bt_ * bf_ * 4
-        return x_blk + w_blks + accs + h_tiles
+        acc = bt_ * d2 * 4
+        h_tiles = 2 * bt_ * bf_ * 4
+        return x_blk + w_blks + acc + h_tiles
 
     while vmem(bt, bf) > _VMEM_BUDGET and bt > 64:
         bt //= 2
-    while vmem(bt, bf) > _VMEM_BUDGET and bf > 256:
+    while vmem(bt, bf) > _VMEM_BUDGET and bf > 128:
         bf //= 2
     if vmem(bt, bf) > _VMEM_BUDGET:
         return None
