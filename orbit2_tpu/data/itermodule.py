@@ -149,7 +149,18 @@ class IterDataModule:
             in_size = (self.batch_size, len(self.in_vars), hgt, wid)
             out_size = (self.batch_size, len(out_vars), out_hgt, out_wid)
         else:
-            in_size = (self.batch_size, self.history, len(self.in_vars), out_lat, out_lon)
+            n_in = len(self.in_vars)
+            if self.task == "continuous-forecasting":
+                # the continuous collate appends the lead-time hours as an
+                # extra input channel (reference itermodule.py:491-503); the
+                # reference's get_data_dims does NOT count it, so every
+                # upstream conv model sized from these dims crashes on the
+                # first continuous batch (its resnet.py:23 builds the stem
+                # for history*C, the batch arrives with history*(C+1)).
+                # Deliberate fix: report the channel count the loader
+                # actually yields.
+                n_in += 1
+            in_size = (self.batch_size, self.history, n_in, out_lat, out_lon)
             out_size = (self.batch_size, len(out_vars), out_lat, out_lon)
         return in_size, out_size
 

@@ -303,6 +303,41 @@ def test_trainer_forecasting_end_to_end(synth_dataset, tmp_path):
     assert t.aux  # ResNet BatchNorm stats threaded through the step
 
 
+def test_trainer_continuous_forecasting_end_to_end(synth_dataset, tmp_path):
+    """task=continuous-forecasting trains end-to-end through config+Trainer:
+    randomized lead times per sample with the lead-time hours appended as an
+    input channel by the collate (reference iterdataset.py:242-295 and its
+    collate_fn lead-time channel), lat-weighted MSE."""
+    from orbit2_tpu.config import load_config
+    from orbit2_tpu.training.trainer import Trainer
+
+    ds = synth_dataset
+    cfg = load_config({
+        "trainer": {"max_epochs": 1, "batch_size": 2, "buffer_size": 4,
+                    "num_workers": 0, "data_type": "float32",
+                    "train_loss": "lat_mse", "remat": False,
+                    "task": "continuous-forecasting"},
+        "parallelism": {"fsdp": 2},
+        "model": {"preset": "rasp-theurey-2020", "lr": 1e-3,
+                  "warmup_epochs": 1, "drop_rate": 0.1},
+        "data": {
+            "low_res_dir": {"ERA5": ds["low"]},
+            "high_res_dir": {"ERA5": ds["low"]},  # forecasting: same grid
+            "spatial_resolution": {"ERA5": 625},
+            "default_vars": list(ds["in_vars"]),
+            "dict_in_variables": {"ERA5": list(ds["in_vars"])},
+            "dict_out_variables": {"ERA5": list(ds["out_vars"])},
+            "var_weights": {},
+            "history": 1, "window": 1, "pred_range": 2,
+            "random_lead_time": True, "max_pred_range": 3,
+            "hrs_each_step": 1,
+        },
+    })
+    t = Trainer(cfg, checkpoint_dir=str(tmp_path / "ck"))
+    hist = t.fit(max_epochs=1, max_steps_per_epoch=2)
+    assert hist and np.isfinite(hist[0]["loss"])
+
+
 def test_tiling_rejected_for_forecasting(synth_dataset, tmp_path):
     from orbit2_tpu.config import load_config
     from orbit2_tpu.training.trainer import Trainer
