@@ -416,22 +416,29 @@ class Trainer:
             n += real
         means = {k: v / max(1, n) for k, v in agg.items()}
         log.info("validation epoch %d: %s", epoch, means)
+        self.last_validation = {"means": means, "samples": n}
         return means
 
     def _eval_one(self, eval_step, batch, stage, loss_metrics, transforms,
                   out_vars, batch_size):
         """Run one eval batch. Partial tail batches are padded to the static
         batch size (so the jitted step never recompiles) and the padding rows
-        sliced off again before metrics — no sample is ever dropped
-        (the reference's evaluate loop sees every sample too)."""
+        sliced off again before metrics — no sample is ever dropped.
+
+        Multi-process: every process hits the tail at the same iteration
+        (the reader's file sharding gives each rank the same number of
+        equal-length files, reference iterdataset.py:61-66), so all ranks
+        pad their local slice together; the padded prediction is then
+        replicated to every host so each can strip every rank's padding
+        rows. The reference instead drops multi-rank tail batches — here
+        the tail samples are evaluated.
+
+        Returned weight = the number of samples the metric mean covers
+        (global across processes), so sample-weighted aggregation over
+        batches is consistent between full and tail batches."""
         x, y = np.asarray(batch[0]), np.asarray(batch[1])
         real = x.shape[0]
-        if real != batch_size and jax.process_count() > 1:
-            # multi-process: the padded prediction is sharded across
-            # non-addressable devices, so the host-side slice below is
-            # impossible — skip the tail batch (the reference's behavior)
-            # rather than crash mid-epoch
-            return {}, 0
+        nproc = jax.process_count()
         if real != batch_size:
             reps = [1] * x.ndim
             reps[0] = batch_size - real
@@ -447,11 +454,31 @@ class Trainer:
             else:
                 yhat = eval_step(self.params, xd, yd)
         if real != batch_size:
-            yhat = jnp.asarray(np.asarray(yhat)[:real])
-            yd = jnp.asarray(y[:real])
+            if nproc > 1:
+                yhat_g = np.asarray(self._replicate(yhat))
+                y_g = np.asarray(self._replicate(yd))
+                keep = np.concatenate([
+                    np.arange(p * batch_size, p * batch_size + real)
+                    for p in range(nproc)])
+                yhat = jnp.asarray(yhat_g[keep])
+                yd = jnp.asarray(y_g[keep])
+            else:
+                yhat = jnp.asarray(np.asarray(yhat)[:real])
+                yd = jnp.asarray(y[:real])
         losses = evaluate_batch(yhat, yd, stage, loss_metrics, transforms,
                                 out_vars)
-        return losses, real
+        return losses, real * nproc
+
+    def _replicate(self, arr):
+        """Jitted identity onto a fully-replicated sharding: after it, every
+        host addresses the whole array (one all-gather of one batch)."""
+        if not hasattr(self, "_replicate_fn"):
+            from orbit2_tpu.parallel.mesh import replicated
+
+            self._replicate_fn = jax.jit(
+                lambda a: a, out_shardings=replicated(self.mesh))
+        with self.mesh:
+            return self._replicate_fn(arr)
 
     def test(self, data_key: Optional[str] = None, max_batches: Optional[int] = None):
         """Evaluate the test split with the test losses + denormalize

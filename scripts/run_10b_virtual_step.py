@@ -27,7 +27,15 @@ import os
 import time
 
 os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8"
+    # 8 device threads time-share ONE core here, so at 10B scale a thread
+    # can sit >40s (the default hard limit) in a collective rendezvous while
+    # the others still grind through their pre-collective compute — raise
+    # the in-process CPU collective timeouts far above the step time
+    + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=3600"
+    + " --xla_cpu_collective_call_terminate_timeout_seconds=7200"
+    + " --xla_cpu_collective_timeout_seconds=7200"
 )
 
 import jax  # noqa: E402

@@ -45,11 +45,15 @@ def main():
                "2m_temperature_max"]
     out_vars = in_vars[4:]
     raw = {
-        "trainer": {"max_epochs": 2, "batch_size": 4, "buffer_size": 8,
+        # batch_size 6 with 8 val samples per rank forces a partial TAIL
+        # batch (6 + 2) through the multi-process eval path: every rank
+        # pads its local slice, the prediction is replicated, and the
+        # padding rows stripped — the reference drops these batches
+        "trainer": {"max_epochs": 2, "batch_size": 6, "buffer_size": 8,
                     "num_workers": 0, "data_type": "float32",
                     "train_loss": "bayesian_tv", "remat": False,
                     "interval_epochs": 1},
-        "parallelism": {"simple_ddp": 2, "fsdp": 4},
+        "parallelism": {"simple_ddp": 2, "fsdp": 2, "tensor_par": 2},
         "model": {"preset": "res_slimvit", "lr": 1e-3, "warmup_epochs": 1,
                   "embed_dim": 32, "depth": 1, "decoder_depth": 1,
                   "num_heads": 2, "patch_size": 2, "drop_path": 0.0,
@@ -70,6 +74,7 @@ def main():
     # divide the batch, so no tail-skip)
     t = Trainer(load_config(raw), checkpoint_dir=ckdir, run_validation=True)
     hist = t.fit(max_epochs=1, max_steps_per_epoch=2)
+    val = t.last_validation  # set by validate(); includes the tail batch
 
     # the file shard this rank's training reader sees (same params the data
     # module passes: data_par_size=process_count, data_par_rank=index)
@@ -92,6 +97,8 @@ def main():
             "resume_losses": [h["loss"] for h in hist2],
             "train_shard": shard,
             "finite": bool(np.isfinite([h["loss"] for h in hist]).all()),
+            "val_means": {k: float(v) for k, v in val["means"].items()},
+            "val_samples": int(val["samples"]),
         }, f)
     print(f"worker {proc_id} done", flush=True)
 

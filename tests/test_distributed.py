@@ -71,3 +71,12 @@ def test_two_process_training(synth_dataset, tmp_path):
     # process-sharded input files are disjoint and cover the split
     s0, s1 = set(res[0]["train_shard"]), set(res[1]["train_shard"])
     assert s0 and s1 and not (s0 & s1)
+
+    # multi-process eval: the partial TAIL batch (8 local samples, batch 6)
+    # is padded + replicated + stripped, not dropped — every rank counts
+    # ALL 16 global val samples and computes the same means
+    assert res[0]["val_samples"] == res[1]["val_samples"] == 16
+    assert res[0]["val_means"].keys() == res[1]["val_means"].keys()
+    for k in res[0]["val_means"]:
+        np.testing.assert_allclose(res[0]["val_means"][k],
+                                   res[1]["val_means"][k], rtol=1e-5)
