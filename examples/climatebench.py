@@ -141,7 +141,8 @@ def run(dm, model_name: str, max_epochs: int = 50, patience: int = 10,
                 val_metric, jax.device_get((params, aux)), 0)
         else:
             bad_epochs += 1
-            if bad_epochs > patience:  # EarlyStopping(monitor, patience)
+            # Lightning EarlyStopping stops when wait_count >= patience
+            if bad_epochs >= patience:
                 log.info("early stop at epoch %d (best %s=%.5f)",
                          epoch, monitor, best_val)
                 break

@@ -167,7 +167,11 @@ class DataConfig:
     dict_out_variables: Dict[str, List[str]] = field(default_factory=dict)
     var_weights: Dict[str, float] = field(default_factory=dict)
     # forecasting-task knobs (unused for downscaling): reference
-    # IterDataModule defaults (itermodule.py:39-58)
+    # IterDataModule defaults (itermodule.py:39-58). `src` selects the
+    # DirectForecast lead-time semantics: "mpi-esm1-2-hr" data is 6-hourly,
+    # so pred_range/window (given in HOURS) divide by 6
+    # (reference iterdataset.py:199-207)
+    src: str = "era5"
     history: int = 1
     window: int = 6
     pred_range: int = 6
@@ -176,6 +180,9 @@ class DataConfig:
     hrs_each_step: int = 1
 
     def validate(self):
+        if self.src not in ("era5", "mpi-esm1-2-hr"):
+            raise ConfigError(
+                f"data.src must be 'era5' or 'mpi-esm1-2-hr', got {self.src!r}")
         if set(self.low_res_dir) != set(self.high_res_dir):
             raise ConfigError("low_res_dir and high_res_dir must have identical keys")
         for key in self.low_res_dir:

@@ -263,27 +263,75 @@ def _dw_kernel(seed_ref, x_ref, w1_ref, b1_ref, w2_ref, do_ref,
         db2_ref[...] = db2_acc[...].astype(db2_ref.dtype)
 
 
+def _bwd_floors(bt, bf, rate):
+    """Smallest block edges the backward kernels may shrink to. With dropout
+    the regenerated mask bits only match the forward's if a shrunk edge is
+    still a multiple of the 256 mask unit — OR equal to the forward's edge
+    (a sub-256 forward edge IS its own unit, see _units). So a forward edge
+    below 256 pins the backward to that exact edge."""
+    if rate > 0.0:
+        return (_MASK_UNIT if bt >= _MASK_UNIT else bt,
+                _MASK_UNIT if bf >= _MASK_UNIT else bf)
+    return min(64, bt), min(128, bf)
+
+
+def _shrink(vmem_fn, bt_, bf_, floor_t, floor_f):
+    while vmem_fn(bt_, bf_) > _VMEM_BUDGET and bt_ > floor_t:
+        bt_ //= 2
+    while vmem_fn(bt_, bf_) > _VMEM_BUDGET and bf_ > floor_f:
+        bf_ //= 2
+    return bt_, bf_
+
+
+def _dx_vmem_fn(d, d2, itemsize):
+    def _vmem(bt_, bf_):
+        return (bt_ * d * 4 + bt_ * (d + d2) * itemsize +
+                2 * (d * bf_ + bf_ * d2) * itemsize +
+                3 * bt_ * bf_ * 4)
+    return _vmem
+
+
+def _dw_vmem_fn(d, d2, itemsize):
+    def _vmem(bt_, bf_):
+        return ((d * bf_ + bf_ * d2) * 4 +          # fp32 dW accumulators
+                2 * (d * bf_ + bf_ * d2) * itemsize +  # w blocks x2
+                2 * bt_ * (d + d2) * itemsize +        # x/do blocks
+                4 * bt_ * bf_ * 4)                   # h/dh/dpre tiles
+    return _vmem
+
+
+def _bwd_blocks(d, f, d2, itemsize, bt, bf, rate):
+    """Deterministic backward block choice for forward blocks (bt, bf).
+    Returns (bt_dx, bf_dx, bt_dw, bf_dw, fits); fits=False means even at the
+    mask-consistency floors a kernel exceeds the VMEM budget — with dropout
+    the caller must then fall back (running anyway would need sub-floor
+    blocks, i.e. silently wrong regenerated masks)."""
+    floor_t, floor_f = _bwd_floors(bt, bf, rate)
+    dx_vmem = _dx_vmem_fn(d, d2, itemsize)
+    bt_dx, bf_dx = _shrink(dx_vmem, bt, bf, floor_t, floor_f)
+    # the dw kernel runs smaller blocks: at 512x512 its VMEM working set
+    # (4 streamed blocks + 4 fp32 accumulators) makes the TPU compiler crash
+    # when the surrounding graph also carries LN-backward fusions — 256x256
+    # compiles everywhere and the dW matmuls keep a big contraction dim
+    # (measured bisection: scripts/debug_fused_compile.py).
+    dw_vmem = _dw_vmem_fn(d, d2, itemsize)
+    bt_dw, bf_dw = _shrink(dw_vmem, min(bt, 256), min(bf, 256),
+                           min(floor_t, min(bt, 256)),
+                           min(floor_f, min(bf, 256)))
+    fits = (dx_vmem(bt_dx, bf_dx) <= _VMEM_BUDGET
+            and dw_vmem(bt_dw, bf_dw) <= _VMEM_BUDGET)
+    return bt_dx, bf_dx, bt_dw, bf_dw, fits
+
+
 def _bwd(x, w1, b1, w2, seed, rate, bt, bf, do):
     tt, d = x.shape
     f, d2 = w2.shape
 
-    # dx kernel holds an fp32 [bt, D] accumulator — shrink for large D
-    bt_dx, bf_dx = bt, bf
-
-    def _dx_vmem(bt_, bf_):
-        return (bt_ * d * 4 + bt_ * (d + d2) * x.dtype.itemsize +
-                2 * (d * bf_ + bf_ * d2) * x.dtype.itemsize +
-                3 * bt_ * bf_ * 4)
-
-    # with dropout the blocks must not shrink below the 256 mask unit or
-    # the regenerated bits would diverge from the forward's (fail loudly at
-    # compile instead of silently wrong grads)
-    floor_t = _MASK_UNIT if (rate > 0.0 and bt >= _MASK_UNIT) else 64
-    floor_f = _MASK_UNIT if (rate > 0.0 and bf >= _MASK_UNIT) else 128
-    while _dx_vmem(bt_dx, bf_dx) > _VMEM_BUDGET and bt_dx > floor_t:
-        bt_dx //= 2
-    while _dx_vmem(bt_dx, bf_dx) > _VMEM_BUDGET and bf_dx > floor_f:
-        bf_dx //= 2
+    # dx kernel holds an fp32 [bt, D] accumulator — shrink for large D;
+    # fused_mlp pre-checked `fits` when dropout is active, so sub-floor
+    # (mask-divergent) blocks can't be reached here
+    bt_dx, bf_dx, bt_dw, bf_dw, _fits = _bwd_blocks(
+        d, f, d2, x.dtype.itemsize, bt, bf, rate)
     nt, nf = tt // bt_dx, f // bf_dx
 
     dx = pl.pallas_call(
@@ -306,25 +354,8 @@ def _bwd(x, w1, b1, w2, seed, rate, bt, bf, do):
         interpret=_interpret(),
     )(seed, x, w1, b1, w2, do)
 
-    # the dw kernel runs smaller blocks: at 512x512 its VMEM working set
-    # (4 streamed blocks + 4 fp32 accumulators) makes the TPU compiler crash
-    # when the surrounding graph also carries LN-backward fusions — 256x256
-    # compiles everywhere and the dW matmuls keep a big contraction dim
-    # (measured bisection: scripts/debug_fused_compile*.py). Large-D shapes
-    # shrink further to fit the fp32 [D, bf]/[bf, D2] accumulators; mask
-    # regeneration is block-size independent (fixed 256-unit grid).
-    bt_dw, bf_dw = min(bt, 256), min(bf, 256)
-
-    def _dw_vmem(bt_, bf_):
-        return ((d * bf_ + bf_ * d2) * 4 +          # fp32 dW accumulators
-                2 * (d * bf_ + bf_ * d2) * x.dtype.itemsize +  # w blocks x2
-                2 * bt_ * (d + d2) * x.dtype.itemsize +        # x/do blocks
-                4 * bt_ * bf_ * 4)                   # h/dh/dpre tiles
-
-    while _dw_vmem(bt_dw, bf_dw) > _VMEM_BUDGET and bt_dw > floor_t:
-        bt_dw //= 2
-    while _dw_vmem(bt_dw, bf_dw) > _VMEM_BUDGET and bf_dw > floor_f:
-        bf_dw //= 2
+    # dw blocks chosen by _bwd_blocks above (capped at 256, shrunk to VMEM,
+    # floored at the mask-consistency edges)
     nt_dw, nf_dw = tt // bt_dw, f // bf_dw
     dw1, db1, dw2, db2 = pl.pallas_call(
         functools.partial(_dw_kernel, nt=nt_dw, rate=rate),
@@ -460,6 +491,18 @@ def fused_mlp(x, w1, b1, w2, b2, drop_rate: float = 0.0,
         if blocks is None:
             return None
         bt, bf = blocks
+
+    # dropout implies training: the backward must be able to regenerate the
+    # EXACT forward masks, which pins its blocks to mask-consistent edges
+    # (_bwd_floors). If no VMEM-feasible backward exists at those floors,
+    # decline the fused path entirely rather than risk silently divergent
+    # masks under grad. (rate=0 backwards have no mask constraint; the
+    # forward-only serving path for huge D is likewise unaffected.)
+    if drop_rate > 0.0:
+        *_bw, fits = _bwd_blocks(d, f, d2, x.dtype.itemsize, bt, bf,
+                                 float(drop_rate))
+        if not fits:
+            return None
 
     if drop_rate > 0.0:
         seed = jax.random.randint(rng, (2,), -2 ** 31, 2 ** 31 - 1,

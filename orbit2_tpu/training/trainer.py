@@ -71,7 +71,7 @@ class Trainer:
                        c.trainer.task, c.trainer.task)
         kwargs = {}
         if dm_task != "downscaling":
-            kwargs = dict(src="era5", history=c.data.history,
+            kwargs = dict(src=c.data.src, history=c.data.history,
                           window=c.data.window, pred_range=c.data.pred_range,
                           random_lead_time=c.data.random_lead_time,
                           max_pred_range=c.data.max_pred_range,
@@ -390,11 +390,13 @@ class Trainer:
     def validate(self, phase_model, dm, in_vars, out_vars, epoch: int):
         # cache the jitted eval step per (model, variable-set). Flax modules
         # hash by config, so curriculum revisits of the same phase hit the
-        # cache; wrapped presets (PreInterpolated vit/unet/resnet) fall back
-        # to identity hash, distinguishing two different backbones even with
-        # identical var sets (their for_phase returns self, so id is stable)
+        # cache — the MODULE is the key (not its hash value: dict equality
+        # resolves hash collisions between distinct configs); wrapped presets
+        # (PreInterpolated vit/unet/resnet) fall back to identity, which is
+        # stable because their for_phase returns self
         try:
-            mkey = hash(phase_model)
+            hash(phase_model)
+            mkey = phase_model
         except TypeError:  # unhashable config fields
             mkey = id(phase_model)
         ekey = (mkey, tuple(in_vars), tuple(out_vars))
@@ -425,13 +427,14 @@ class Trainer:
         batch size (so the jitted step never recompiles) and the padding rows
         sliced off again before metrics — no sample is ever dropped.
 
-        Multi-process: every process hits the tail at the same iteration
-        (the reader's file sharding gives each rank the same number of
-        equal-length files, reference iterdataset.py:61-66), so all ranks
-        pad their local slice together; the padded prediction is then
-        replicated to every host so each can strip every rank's padding
-        rows. The reference instead drops multi-rank tail batches — here
-        the tail samples are evaluated.
+        Multi-process: each rank first all-gathers its local batch size, so
+        the tail decision is COLLECTIVE — if any rank has a partial batch,
+        every rank takes the pad+replicate+strip path together (per-rank
+        tails may differ when val files have unequal lengths; a rank whose
+        last batch happens to be full still participates). The padded
+        prediction is replicated to every host and each strips every rank's
+        padding rows using the gathered per-rank counts. The reference
+        instead drops multi-rank tail batches — here they are evaluated.
 
         Returned weight = the number of samples the metric mean covers
         (global across processes), so sample-weighted aggregation over
@@ -439,6 +442,14 @@ class Trainer:
         x, y = np.asarray(batch[0]), np.asarray(batch[1])
         real = x.shape[0]
         nproc = jax.process_count()
+        if nproc > 1:
+            from jax.experimental import multihost_utils
+
+            reals = np.asarray(multihost_utils.process_allgather(
+                np.asarray(real, np.int32)))
+        else:
+            reals = np.asarray([real])
+        any_tail = bool((reals != batch_size).any())
         if real != batch_size:
             reps = [1] * x.ndim
             reps[0] = batch_size - real
@@ -453,12 +464,12 @@ class Trainer:
                 yhat = eval_step(self.params, aux, xd, yd)
             else:
                 yhat = eval_step(self.params, xd, yd)
-        if real != batch_size:
+        if any_tail:
             if nproc > 1:
                 yhat_g = np.asarray(self._replicate(yhat))
                 y_g = np.asarray(self._replicate(yd))
                 keep = np.concatenate([
-                    np.arange(p * batch_size, p * batch_size + real)
+                    np.arange(p * batch_size, p * batch_size + int(reals[p]))
                     for p in range(nproc)])
                 yhat = jnp.asarray(yhat_g[keep])
                 yd = jnp.asarray(y_g[keep])
@@ -467,7 +478,7 @@ class Trainer:
                 yd = jnp.asarray(y[:real])
         losses = evaluate_batch(yhat, yd, stage, loss_metrics, transforms,
                                 out_vars)
-        return losses, real * nproc
+        return losses, int(reals.sum())
 
     def _replicate(self, arr):
         """Jitted identity onto a fully-replicated sharding: after it, every

@@ -5,8 +5,11 @@ Closes VERDICT r2 weak #8 ("no full 10B step has ever executed anywhere,
 even on the virtual mesh with real (tiny-image) buffers"): the AOT test
 (tests/test_scale_aot.py) proves the sharded step COMPILES with every large
 parameter 8-way sharded; this script proves the same model/sharding stack
-EXECUTES — init, forward, backward, optimizer update — at 10.6B params and
-returns a finite loss with changed parameters.
+EXECUTES — init, forward, backward, optimizer update — at 9.4B params and
+returns a finite loss with changed parameters. (The full-resolution
+interm_10b model is ~10.6B; the 16x32 image used here drops ~1.2B of
+image-size-dependent pos-embed/patch parameters while keeping every trunk
+matmul at its real dimensions.)
 
 Memory budget on the 125GB host (the reason for the knobs):
   * param_dtype=bf16  -> 21GB params, 21GB grads (grads inherit param dtype)

@@ -69,9 +69,10 @@ def main():
         },
     }
 
-    # run_validation exercises the multi-process EVAL path too (batch
-    # assembly + sharded eval step across processes; val split sizes here
-    # divide the batch, so no tail-skip)
+    # run_validation exercises the multi-process EVAL path INCLUDING the
+    # partial tail batch (8 local val samples at batch_size 6 -> a 2-sample
+    # tail per rank that is padded + replicated + stripped; asserted via
+    # val_samples == 16 in test_distributed.py)
     t = Trainer(load_config(raw), checkpoint_dir=ckdir, run_validation=True)
     hist = t.fit(max_epochs=1, max_steps_per_epoch=2)
     val = t.last_validation  # set by validate(); includes the tail batch

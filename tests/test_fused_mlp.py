@@ -166,3 +166,79 @@ def test_batched_input_shape():
     want = _xla_mlp(xb, w1, b1, w2, b2)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_dropout_bwd_infeasible_falls_back():
+    """With dropout, a sub-256 forward block edge pins the backward to that
+    exact edge (sub-unit shrink would silently regenerate DIFFERENT masks).
+    When no VMEM-feasible backward exists at that pinned edge, fused_mlp
+    must decline up front — regression for the r3 review finding where the
+    dx/dw shrink loops could halve a 128 block to 64 under dropout."""
+    from orbit2_tpu.ops.fused_mlp import _bwd_blocks
+
+    d = f = d2 = 4096
+    # fp32, fwd blocks (128, 512): dx needs > budget even at (128, 256)
+    bt_dx, bf_dx, bt_dw, bf_dw, fits = _bwd_blocks(
+        d, f, d2, 4, bt=128, bf=512, rate=0.25)
+    assert bt_dx == 128 and bt_dw == 128  # pinned at the fwd edge, never 64
+    assert not fits
+
+    tt = 384  # % 128 == 0 but % 256 != 0 — forces the sub-unit fwd edge
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(tt, d)), jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(d, f)) * d ** -0.5, jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(f, d2)) * f ** -0.5, jnp.float32)
+    b1 = jnp.zeros((f,), jnp.float32)
+    b2 = jnp.zeros((d2,), jnp.float32)
+    out = fused_mlp(x, w1, b1, w2, b2, drop_rate=0.25,
+                    rng=jax.random.PRNGKey(0), force=True,
+                    block_t=128, block_f=512)
+    assert out is None
+    # rate 0 has no mask-consistency constraint: blocks shrink freely and
+    # the same shape fits in bf16 (the training dtype)
+    *_blks, fits0 = _bwd_blocks(d, f, d2, 2, bt=128, bf=512, rate=0.0)
+    assert fits0
+
+
+def test_dropout_bwd_shrink_stays_mask_consistent(monkeypatch):
+    """When VMEM pressure shrinks the backward blocks but the edges stay on
+    the 256-unit grid, gradients still match the masked XLA reference built
+    from the FORWARD's block geometry."""
+    import orbit2_tpu.ops.fused_mlp as fm
+
+    monkeypatch.setattr(fm, "_VMEM_BUDGET", int(2.5 * 1024 * 1024))
+    tt, d, f, d2 = 512, 128, 512, 128
+    bt, bf, rate = 512, 256, 0.3
+    # dx shrinks bt 512 -> 256 under the tiny budget; both on the unit grid
+    bt_dx, _bf_dx, _bt_dw, _bf_dw, fits = fm._bwd_blocks(
+        d, f, d2, 4, bt=bt, bf=bf, rate=rate)
+    assert fits and bt_dx == 256
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(tt, d)) * 0.5, jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(d, f)) * d ** -0.5, jnp.float32)
+    b1 = jnp.asarray(rng.normal(size=(f,)) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(f, d2)) * f ** -0.5, jnp.float32)
+    b2 = jnp.asarray(rng.normal(size=(d2,)) * 0.1, jnp.float32)
+    key = jax.random.PRNGKey(21)
+    seed = np.asarray(jax.random.randint(key, (2,), -2 ** 31, 2 ** 31 - 1,
+                                         dtype=jnp.int32))
+    from orbit2_tpu.ops.fused_mlp import _mask1, _mask2
+
+    seed_j = jnp.asarray(seed)
+    m1 = jnp.concatenate([_mask1(seed_j, 0, j, (bt, bf), rate)
+                          for j in range(f // bf)], axis=1)
+    m2 = _mask2(seed_j, 0, (bt, d2), rate)
+
+    def loss_fused(*args):
+        return jnp.sum(fm.fused_mlp(*args, drop_rate=rate, rng=key,
+                                    force=True, block_t=bt, block_f=bf) ** 2)
+
+    def loss_ref(*args):
+        return jnp.sum(_xla_mlp(*args, m1, m2) ** 2)
+
+    g_fused = jax.grad(loss_fused, argnums=tuple(range(5)))(x, w1, b1, w2, b2)
+    g_ref = jax.grad(loss_ref, argnums=tuple(range(5)))(x, w1, b1, w2, b2)
+    for name, a, b in zip(("dx", "dw1", "db1", "dw2", "db2"), g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=5e-4, err_msg=name)
