@@ -248,6 +248,27 @@ class IterDataModule:
 
     # ---- dataloaders -------------------------------------------------------
 
+    def num_batches(self, split: str = "train") -> int:
+        """Exact number of batches the split's dataloader will yield THIS
+        epoch, computed from npz HEADERS only (no array data is read).
+
+        Multi-process runs need this up front: train/eval steps are
+        collective SPMD programs, so every process must take the same
+        number of steps — the Trainer gathers these counts to clamp (train)
+        or pad (eval) ranks whose file shards yield fewer samples. Counting
+        peeks the upcoming epoch's file permutation without advancing the
+        shuffle rng, so call it BEFORE creating the epoch's iterator.
+        (The samplestore path serves the same samples the streaming
+        pipeline yields, so the count is identical.)"""
+        data = {"train": self.data_train, "val": self.data_val,
+                "test": self.data_test}[split]
+        if data is None:
+            raise RuntimeError("You must call setup() before num_batches")
+        n = data.num_samples()
+        if split == "train" and self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
     def train_dataloader(self):
         if self.data_train is None:
             raise RuntimeError("You must call setup() before the data loaders")

@@ -123,6 +123,33 @@ def tile_shapes(
 Sample = Tuple[Dict[str, np.ndarray], Dict[str, np.ndarray], Sequence[str], Sequence[str]]
 
 
+_TIME_LEN_CACHE: Dict[Tuple[str, str], int] = {}
+
+
+def npz_time_len(path: str, var: str) -> int:
+    """T (leading dim) of `var` inside an npz WITHOUT loading the array:
+    only the member's npy header is read through the zip, so counting a
+    multi-GB shard costs a few KB of IO. Shards are immutable during a run,
+    so results are cached per (path, var)."""
+    key = (path, var)
+    if key not in _TIME_LEN_CACHE:
+        import zipfile
+
+        from numpy.lib import format as npfmt
+
+        with zipfile.ZipFile(path) as z:
+            with z.open(var + ".npy") as f:
+                version = npfmt.read_magic(f)
+                if version == (1, 0):
+                    shape, _, _ = npfmt.read_array_header_1_0(f)
+                elif version == (2, 0):
+                    shape, _, _ = npfmt.read_array_header_2_0(f)
+                else:  # future header versions share the private reader
+                    shape, _, _ = npfmt._read_array_header(f, version)
+        _TIME_LEN_CACHE[key] = int(shape[0])
+    return _TIME_LEN_CACHE[key]
+
+
 class NpyReader:
     """Iterates (inp_dict, out_dict, in_vars, out_vars) of [T, h, w] arrays
     per tile per shard file (reference iterdataset.py:21-177)."""
@@ -156,10 +183,18 @@ class NpyReader:
         self.overlap = overlap
         self.rng = rng or random.Random()
 
-    def _sharded_files(self) -> List[Tuple[str, str]]:
+    def _sharded_files(self, peek: bool = False) -> List[Tuple[str, str]]:
+        """peek=True computes the shard the NEXT __iter__ will see without
+        advancing the file-permutation rng (used by the batch-count peek:
+        shard MEMBERSHIP depends on the epoch's permutation, so counts for
+        unequal-length files are only exact for the upcoming epoch)."""
         pairs = list(zip(self.inp_file_list, self.out_file_list))
         if self.shuffle:
-            self.rng.shuffle(pairs)
+            rng = self.rng
+            if peek:
+                rng = random.Random()
+                rng.setstate(self.rng.getstate())
+            rng.shuffle(pairs)
         n_files = len(pairs)
         total_workers = self.num_workers * self.data_par_size
         # wrap-around replication when files < shards (reference :61-66)
@@ -172,6 +207,16 @@ class NpyReader:
         per_worker = n_files // num_shards
         shard_id = self.data_par_rank * self.num_workers + self.worker_id
         return pairs[shard_id * per_worker : (shard_id + 1) * per_worker]
+
+    def chunk_lengths(self) -> List[int]:
+        """Time length of every [T, h, w] chunk the NEXT __iter__ will yield
+        (div*div tiles per sharded file), from npz headers only. Does not
+        advance the shuffle rng — call before creating the epoch iterator."""
+        lens: List[int] = []
+        for path_inp, _ in self._sharded_files(peek=True):
+            t = npz_time_len(path_inp, self.variables[0])
+            lens.extend([t] * (self.div * self.div))
+        return lens
 
     def __iter__(self) -> Iterator[Sample]:
         for path_inp, path_out in self._sharded_files():
@@ -208,6 +253,9 @@ class Downscale:
     def __init__(self, dataset):
         self.dataset = dataset
 
+    def chunk_lengths(self) -> List[int]:
+        return self.dataset.chunk_lengths()
+
     def __iter__(self):
         for inp, out, variables, out_variables in self.dataset:
             yield (
@@ -235,6 +283,12 @@ class DirectForecast:
         else:
             self.pred_range = pred_range
             self.window = window
+
+    def chunk_lengths(self) -> List[int]:
+        off = (self.history - 1) * self.window + self.pred_range
+        # v[:, :-off] -> T-off rows; off==0 would slice v[:, :0] (empty)
+        return [max(0, t - off) if off > 0 else 0
+                for t in self.dataset.chunk_lengths()]
 
     def __iter__(self):
         for inp_data, out_data, variables, out_variables in self.dataset:
@@ -279,6 +333,11 @@ class ContinuousForecast:
         self.window = window
         self.rng = rng or np.random.default_rng()
 
+    def chunk_lengths(self) -> List[int]:
+        off = (self.history - 1) * self.window + self.max_pred_range
+        return [max(0, t - off) if off > 0 else 0
+                for t in self.dataset.chunk_lengths()]
+
     def __iter__(self):
         for inp_data, out_data, variables, out_variables in self.dataset:
             inp = {
@@ -314,6 +373,12 @@ class IndividualDataIter:
         self.output_transforms = output_transforms
         self.subsample = subsample
 
+    def num_samples(self) -> int:
+        """Exact count the next __iter__ yields, from npz headers only:
+        range(0, L, subsample) has ceil(L/subsample) elements per chunk."""
+        return sum((n + self.subsample - 1) // self.subsample
+                   for n in self.dataset.chunk_lengths())
+
     def __iter__(self):
         continuous = isinstance(self.dataset, ContinuousForecast)
         for sample in self.dataset:
@@ -347,6 +412,9 @@ class ShuffleIterableDataset:
         self.dataset = dataset
         self.buffer_size = buffer_size
         self.rng = rng or random.Random()
+
+    def num_samples(self) -> int:
+        return self.dataset.num_samples()  # buffer reorders, never drops
 
     def __iter__(self):
         buf = []

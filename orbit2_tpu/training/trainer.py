@@ -342,6 +342,22 @@ class Trainer:
                     t0 = time.perf_counter()
                     epoch_loss, nbatches = 0.0, 0
 
+                    # multi-process: the train step is one collective SPMD
+                    # program, so every process must take the SAME number of
+                    # steps. File shards with unequal lengths can yield
+                    # unequal per-rank batch counts (wrap-around replication
+                    # equalizes file COUNTS only) — clamp the epoch to the
+                    # global minimum (drop_last semantics across ranks).
+                    # num_batches peeks the upcoming permutation from npz
+                    # headers; it must run BEFORE the epoch iterator below.
+                    sync_steps = None
+                    if jax.process_count() > 1:
+                        from jax.experimental import multihost_utils
+
+                        counts = np.asarray(multihost_utils.process_allgather(
+                            np.asarray(dm.num_batches("train"), np.int32)))
+                        sync_steps = int(counts.min())
+
                     def _staged(loader):
                         # device_prefetch: stage H2D transfers `depth` batches
                         # ahead so the copy overlaps the previous step's compute
@@ -355,6 +371,8 @@ class Trainer:
 
                     for batch_idx, (x, y) in enumerate(_staged(dm.train_dataloader())):
                         if max_steps_per_epoch and batch_idx >= max_steps_per_epoch:
+                            break
+                        if sync_steps is not None and batch_idx >= sync_steps:
                             break
                         rng, step_rng = jax.random.split(rng)
                         with self.mesh:
@@ -409,10 +427,10 @@ class Trainer:
         eval_step = self._eval_steps[ekey]
         agg: Dict[str, float] = {}
         n = 0
-        for batch in dm.val_dataloader():
+        for batch, nreal in self._synced_batches(dm.val_dataloader, dm, "val"):
             losses, real = self._eval_one(eval_step, batch, "val",
                                           self.val_losses, self.val_transforms,
-                                          out_vars, dm.batch_size)
+                                          out_vars, dm.batch_size, real=nreal)
             for k, v in losses.items():
                 agg[k] = agg.get(k, 0.0) + float(v) * real
             n += real
@@ -421,8 +439,69 @@ class Trainer:
         self.last_validation = {"means": means, "samples": n}
         return means
 
+    def _synced_batches(self, make_loader, dm, stage, max_batches=None):
+        """Iterate an eval dataloader with the ROUND COUNT agreed across
+        processes. Multi-process eval steps are collective SPMD programs: a
+        rank whose file shard yields fewer batches (unequal shard lengths
+        survive the reader's wrap-around FILE replication) must keep
+        participating in every collective or all ranks hang — it yields
+        full-size zero batches with real=0 until the longest rank is done.
+
+        Yields (batch, real): real is None for a genuine batch (derived from
+        its row count) and 0 for a padding round. The per-process count
+        comes from the data module's header-only batch count (no data is
+        read to count) and is gathered once per (module, stage)."""
+        def loader():
+            for i, b in enumerate(make_loader()):
+                if max_batches is not None and i >= max_batches:
+                    return
+                yield b
+
+        if jax.process_count() == 1:
+            for b in loader():
+                yield b, None
+            return
+        from jax.experimental import multihost_utils
+
+        ckey = (id(dm), stage, max_batches)
+        if not hasattr(self, "_eval_round_counts"):
+            self._eval_round_counts = {}
+        if ckey not in self._eval_round_counts:
+            local_n = dm.num_batches(stage)
+            if max_batches is not None:
+                local_n = min(local_n, max_batches)
+            rounds = int(np.asarray(multihost_utils.process_allgather(
+                np.asarray(local_n, np.int32))).max())
+            self._eval_round_counts[ckey] = rounds
+        rounds = self._eval_round_counts[ckey]
+        it = loader()
+        last = None
+        for _ in range(rounds):
+            b = next(it, None)
+            if b is not None:
+                last = b
+                yield b, None
+            else:  # padding round: full-size zeros, zero real samples
+                if last is not None:
+                    # match the real batches' exact shapes (a tail batch is
+                    # padded up by _eval_one, so only the row count differs)
+                    x0 = np.zeros((dm.batch_size,)
+                                  + np.asarray(last[0]).shape[1:], np.float32)
+                    y0 = np.zeros((dm.batch_size,)
+                                  + np.asarray(last[1]).shape[1:], np.float32)
+                else:  # this rank saw no batches at all
+                    in_size, out_size = dm.get_data_dims()
+                    x0 = np.zeros(in_size, np.float32)
+                    y0 = np.zeros(out_size, np.float32)
+                yield (x0, y0), 0
+        if next(it, None) is not None:
+            # a miscount here would silently drop real batches — fail loud
+            raise RuntimeError(
+                f"num_batches({stage!r}) undercounted: the dataloader "
+                f"yielded more than {rounds} batches")
+
     def _eval_one(self, eval_step, batch, stage, loss_metrics, transforms,
-                  out_vars, batch_size):
+                  out_vars, batch_size, real=None):
         """Run one eval batch. Partial tail batches are padded to the static
         batch size (so the jitted step never recompiles) and the padding rows
         sliced off again before metrics — no sample is ever dropped.
@@ -436,11 +515,15 @@ class Trainer:
         padding rows using the gathered per-rank counts. The reference
         instead drops multi-rank tail batches — here they are evaluated.
 
+        `real` overrides the sample count for padding rounds injected by
+        _synced_batches (full-size zero batch, real=0).
+
         Returned weight = the number of samples the metric mean covers
         (global across processes), so sample-weighted aggregation over
         batches is consistent between full and tail batches."""
         x, y = np.asarray(batch[0]), np.asarray(batch[1])
-        real = x.shape[0]
+        if real is None:
+            real = x.shape[0]
         nproc = jax.process_count()
         if nproc > 1:
             from jax.experimental import multihost_utils
@@ -450,12 +533,12 @@ class Trainer:
         else:
             reals = np.asarray([real])
         any_tail = bool((reals != batch_size).any())
-        if real != batch_size:
+        if x.shape[0] != batch_size:  # partial tail: tile the last row up
             reps = [1] * x.ndim
-            reps[0] = batch_size - real
+            reps[0] = batch_size - x.shape[0]
             x = np.concatenate([x, np.tile(x[-1:], reps)])
             reps_y = [1] * y.ndim
-            reps_y[0] = batch_size - real
+            reps_y[0] = batch_size - y.shape[0]
             y = np.concatenate([y, np.tile(y[-1:], reps_y)])
         xd, yd = self._put_batch(x, y)
         aux = getattr(self, "aux", None)
@@ -471,6 +554,8 @@ class Trainer:
                 keep = np.concatenate([
                     np.arange(p * batch_size, p * batch_size + int(reals[p]))
                     for p in range(nproc)])
+                if keep.size == 0:  # all ranks on padding rounds
+                    return {}, 0
                 yhat = jnp.asarray(yhat_g[keep])
                 yd = jnp.asarray(y_g[keep])
             else:
@@ -511,13 +596,12 @@ class Trainer:
                                    aux_collections=tuple(sorted(self.aux)))
         agg: Dict[str, float] = {}
         n = 0
-        for batch_idx, batch in enumerate(dm.test_dataloader()):
-            if max_batches is not None and batch_idx >= max_batches:
-                break
+        for batch, nreal in self._synced_batches(dm.test_dataloader, dm,
+                                                 "test", max_batches):
             losses, real = self._eval_one(eval_step, batch, "test",
                                           self.test_losses,
                                           self.test_transforms, out_vars,
-                                          dm.batch_size)
+                                          dm.batch_size, real=nreal)
             for k, v in losses.items():
                 agg[k] = agg.get(k, 0.0) + float(v) * real
             n += real

@@ -90,6 +90,20 @@ def main():
     t2 = Trainer(load_config(raw), checkpoint_dir=ckdir)
     hist2 = t2.fit(max_epochs=2, max_steps_per_epoch=2)
 
+    # UNEQUAL per-rank batch counts (shard_0: 8 samples, shard_1: 20): the
+    # train loop must clamp every rank to the global-min step count and the
+    # eval loop must pad the short rank with zero-real rounds — without the
+    # sync this configuration deadlocks in the first epoch's collectives
+    uneven_low = sys.argv[8]
+    uneven_high = sys.argv[9]
+    raw_u = json.loads(json.dumps(raw))  # deep copy
+    raw_u["data"]["low_res_dir"] = {"S": uneven_low}
+    raw_u["data"]["high_res_dir"] = {"S": uneven_high}
+    t3 = Trainer(load_config(raw_u), checkpoint_dir=os.path.join(ckdir, "u"),
+                 run_validation=True)
+    hist3 = t3.fit(max_epochs=1)  # NO max_steps clamp: exercises the sync
+    val_u = t3.last_validation
+
     with open(out_json, "w") as f:
         json.dump({
             "process_index": jax.process_index(),
@@ -100,6 +114,10 @@ def main():
             "finite": bool(np.isfinite([h["loss"] for h in hist]).all()),
             "val_means": {k: float(v) for k, v in val["means"].items()},
             "val_samples": int(val["samples"]),
+            "uneven_batches": [h["batches"] for h in hist3],
+            "uneven_loss": [h["loss"] for h in hist3],
+            "uneven_val_means": {k: float(v) for k, v in val_u["means"].items()},
+            "uneven_val_samples": int(val_u["samples"]),
         }, f)
     print(f"worker {proc_id} done", flush=True)
 

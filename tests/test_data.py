@@ -345,3 +345,83 @@ def test_itermodule_multihost_disjoint_batches(tmp_path):
     for i in range(4):
         for j in range(i + 1, 4):
             assert not (streams[i] & streams[j]), (i, j)
+
+
+# ---- header-only batch counting (num_batches / num_samples) ----------------
+
+
+def _actual_batches(loader):
+    return sum(1 for _ in loader)
+
+
+@pytest.mark.parametrize(
+    "task,kwargs",
+    [
+        ("downscaling", {}),
+        ("downscaling", {"div": 2, "overlap": 2}),
+        ("direct-forecasting", {"src": "era5", "history": 2, "window": 1,
+                                "pred_range": 2}),
+        ("continuous-forecasting", {"history": 2, "window": 1,
+                                    "pred_range": 2, "max_pred_range": 3,
+                                    "random_lead_time": True}),
+    ],
+)
+def test_num_batches_matches_loader(synth_dataset, task, kwargs):
+    """num_batches must predict the EXACT yield of every dataloader from npz
+    headers alone — the multi-process step/round sync is built on it."""
+    ds = synth_dataset
+    high = ds["low"] if task != "downscaling" else ds["high"]
+    dm = IterDataModule(
+        task, ds["low"], high, ds["in_vars"], ds["out_vars"],
+        batch_size=3, buffer_size=4, subsample=2, drop_last=True, **kwargs,
+    )
+    dm.setup()
+    assert dm.num_batches("train") == _actual_batches(dm.train_dataloader())
+    assert dm.num_batches("val") == _actual_batches(dm.val_dataloader())
+    assert dm.num_batches("test") == _actual_batches(dm.test_dataloader())
+
+
+def test_num_batches_counts_the_upcoming_epoch_without_rng_advance(tmp_path):
+    """Counting peeks the next epoch's file permutation: interleaving
+    num_batches calls must not change which files each epoch reads, and with
+    UNEQUAL file lengths the per-epoch count must match that epoch's shard."""
+    import os
+
+    var = "2m_temperature_min"
+    lens = [4, 10, 6, 8]  # deliberately unequal shard lengths
+    for split in ("train", "val", "test"):
+        d = tmp_path / "low" / split
+        d.mkdir(parents=True)
+        for i, t in enumerate(lens):
+            np.savez(d / f"s{i}.npz",
+                     **{var: np.zeros((t, 1, 8, 16), np.float32)})
+        np.savez(d / "climatology.npz", **{var: np.zeros((1, 8, 16), np.float32)})
+    np.save(tmp_path / "low" / "lat.npy", np.linspace(-80, 80, 8))
+    np.save(tmp_path / "low" / "lon.npy", np.linspace(0, 350, 16))
+    np.savez(tmp_path / "low" / "normalize_mean.npz", **{var: np.array([0.0])})
+    np.savez(tmp_path / "low" / "normalize_std.npz", **{var: np.array([1.0])})
+
+    def make(rank):
+        dm = IterDataModule(
+            "downscaling", str(tmp_path / "low"), str(tmp_path / "low"),
+            [var], [var], batch_size=3, buffer_size=2, subsample=1,
+            drop_last=True, data_par_size=2, data_par_rank=rank, seed=7,
+        )
+        dm.setup()
+        return dm
+
+    # reference order: two epochs, no counting interleaved
+    dm_a = make(0)
+    orders_plain = [[os.path.basename(p) for p, _ in
+                     dm_a.data_train.dataset.dataset.dataset._sharded_files()]
+                    for _ in range(2)]
+
+    # counted order: num_batches before each epoch must not perturb the rng
+    dm_b = make(0)
+    for epoch in range(2):
+        n_pred = dm_b.num_batches("train")
+        reader = dm_b.data_train.dataset.dataset.dataset
+        files = [os.path.basename(p) for p, _ in reader._sharded_files()]
+        assert files == orders_plain[epoch]
+        t_total = sum(lens[int(f[1])] for f in files)
+        assert n_pred == t_total // 3  # drop_last floor of THIS epoch's shard
