@@ -50,8 +50,18 @@ def main():
         trainer.checkpoint_dir)
     if path:
         state = ck.restore_checkpoint(path)
-        trainer.params = state["params"]
-        logging.info("loaded checkpoint %s (epoch %s)", path, state.get("epoch"))
+        # merge with the reference's filtering semantics: a checkpoint from a
+        # different tiling/resolution gets its learned pos_embed bicubically
+        # resized instead of crashing (reference visualize.py:94-97); an
+        # exact-match checkpoint passes through unchanged
+        in_shape, _ = dm.get_data_dims()
+        trainer.params, report = ck.load_pretrained_params(
+            trainer.params, state["params"], patch_size=cfg.model.patch_size,
+            img_size=in_shape[2:])
+        logging.info("loaded checkpoint %s (epoch %s): %d used / %d dropped"
+                     " / %d resized", path, state.get("epoch"),
+                     len(report["used"]), len(report["dropped"]),
+                     len(report["resized"]))
     else:
         logging.warning("no checkpoint found — visualizing untrained weights")
 

@@ -77,6 +77,149 @@ def test_visualize_driver_emits_full_stitched_globe(
     assert dumped.shape == (64, 128)
 
 
+@pytest.fixture
+def driver_cfg(synth_dataset):
+    """Untiled tiny config dict for the train/evaluate/finetune drivers —
+    world_size 8 matches the virtual CPU mesh."""
+    ds = synth_dataset
+    return {
+        "trainer": {"max_epochs": 1, "batch_size": 4, "buffer_size": 8,
+                    "num_workers": 0, "data_type": "float32",
+                    "train_loss": "bayesian_tv", "remat": False},
+        "parallelism": {"fsdp": 2, "simple_ddp": 2, "tensor_par": 2},
+        "tiling": {"do_tiling": False},
+        "model": {"preset": "res_slimvit", "lr": 1e-3, "warmup_epochs": 1,
+                  "superres_mag": 4, "patch_size": 2, "embed_dim": 32,
+                  "depth": 1, "decoder_depth": 1, "num_heads": 2,
+                  "drop_path": 0.0, "drop_rate": 0.0,
+                  "attention_impl": "xla"},
+        "data": {
+            "low_res_dir": {"S": ds["low"]},
+            "high_res_dir": {"S": ds["high"]},
+            "spatial_resolution": {"S": 625},
+            "default_vars": list(ds["in_vars"]),
+            "dict_in_variables": {"S": list(ds["in_vars"])},
+            "dict_out_variables": {"S": list(ds["out_vars"])},
+            "var_weights": {},
+        },
+    }
+
+
+def test_train_driver_end_to_end(driver_cfg, tmp_path, monkeypatch):
+    """examples/train.py main(): config -> Trainer.fit -> checkpoint on disk.
+    The checkpoint dir is cwd-relative (reference checkpoints/climate), so
+    the driver runs chdir'd into tmp."""
+    cfg_path = tmp_path / "train.yaml"
+    cfg_path.write_text(yaml.safe_dump(driver_cfg))
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(sys, "argv", ["train.py", str(cfg_path)])
+
+    load_example("train").main()
+
+    assert os.path.isdir(tmp_path / "checkpoints" / "climate" / "epoch_0")
+
+
+def test_train_driver_scales_down_parallelism(driver_cfg, tmp_path,
+                                              monkeypatch):
+    """A config sized for 16 devices on an 8-device host: the driver shrinks
+    the axes (tensor first preserved by gcd, fsdp-first like HYBRID_SHARD)
+    while keeping the data axes dividing the batch, and still trains."""
+    driver_cfg["parallelism"] = {"fsdp": 4, "simple_ddp": 2, "tensor_par": 2}
+    cfg_path = tmp_path / "train16.yaml"
+    cfg_path.write_text(yaml.safe_dump(driver_cfg))
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(sys, "argv", ["train.py", str(cfg_path)])
+
+    load_example("train").main()
+
+    assert os.path.isdir(tmp_path / "checkpoints" / "climate" / "epoch_0")
+
+
+def test_evaluate_driver_reports_test_metrics(driver_cfg, tmp_path,
+                                              monkeypatch, capsys):
+    """examples/evaluate.py main(): restores the latest checkpoint written
+    by the train driver (cwd-relative) and prints a JSON dict of finite
+    per-variable test metrics (rmse/pearson/mean_bias)."""
+    cfg_path = tmp_path / "eval.yaml"
+    cfg_path.write_text(yaml.safe_dump(driver_cfg))
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(sys, "argv", ["train.py", str(cfg_path)])
+    load_example("train").main()
+
+    monkeypatch.setattr(sys, "argv",
+                        ["evaluate.py", str(cfg_path), "--max-batches", "2"])
+    import json
+
+    capsys.readouterr()
+    load_example("evaluate").main()
+    means = json.loads(capsys.readouterr().out)
+    assert any("rmse" in k for k in means)
+    assert all(np.isfinite(v) for v in means.values())
+
+
+def test_finetune_driver_imports_pretrain(driver_cfg, tmp_path, monkeypatch,
+                                          caplog):
+    """examples/finetune.py main(): loads an Orbax pretrain checkpoint with
+    the reference's key-filter semantics, then trains."""
+    import logging
+
+    cfg_path = tmp_path / "ft.yaml"
+    cfg_path.write_text(yaml.safe_dump(driver_cfg))
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(sys, "argv", ["train.py", str(cfg_path)])
+    load_example("train").main()
+    pretrain = str(tmp_path / "checkpoints" / "climate" / "epoch_0")
+
+    ft_dir = tmp_path / "ft_run"
+    ft_dir.mkdir()
+    monkeypatch.chdir(ft_dir)
+    monkeypatch.setattr(sys, "argv", [
+        "finetune.py", str(cfg_path), "--pretrain", pretrain,
+        "--loss", "mse", "--max-epochs", "1"])
+    with caplog.at_level(logging.INFO):
+        load_example("finetune").main()
+
+    assert os.path.isdir(ft_dir / "checkpoints" / "climate" / "epoch_0")
+    imports = [r for r in caplog.records if "pretrain import" in r.getMessage()]
+    assert imports and imports[0].args[0] > 0  # used > 0 keys
+
+
+def test_visualize_driver_resizes_checkpoint_pos_embed(
+        tiled_inference_cfg, tmp_path, monkeypatch, caplog):
+    """The reference trains at one tile geometry and infers at another
+    (interm_1b: div4/ov3 -> inference.yaml: div4/ov2), interpolating the
+    learned pos_embed on checkpoint load (its visualize.py:94-97). Train at
+    overlap=2, visualize at overlap=0: the driver must resize pos_embed and
+    still emit the full stitched globe."""
+    import logging
+
+    train_cfg = dict(tiled_inference_cfg)
+    cfg_path = tmp_path / "train_tiled.yaml"
+    cfg_path.write_text(yaml.safe_dump(train_cfg))
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(sys, "argv", ["train.py", str(cfg_path)])
+    load_example("train").main()
+    ckpt = tmp_path / "checkpoints" / "climate" / "epoch_0"
+    assert ckpt.is_dir()
+
+    vis_cfg = yaml.safe_load(yaml.safe_dump(tiled_inference_cfg))
+    vis_cfg["tiling"]["overlap"] = 0  # different tile size -> pos_embed resize
+    vis_path = tmp_path / "vis_ov0.yaml"
+    vis_path.write_text(yaml.safe_dump(vis_cfg))
+    monkeypatch.setattr(sys, "argv", [
+        "visualize.py", str(vis_path), "--index", "0",
+        "--checkpoint", str(ckpt), "--out-dir", str(tmp_path / "viz2")])
+    with caplog.at_level(logging.INFO):
+        res = load_example("visualize").main()
+
+    assert res["preds"].shape == (3, 64, 128)
+    loaded = [r for r in caplog.records
+              if "loaded checkpoint" in r.getMessage()]
+    assert loaded
+    n_used, n_dropped, n_resized = loaded[0].args[2:5]
+    assert n_used > 0 and n_resized >= 1 and n_dropped == 0
+
+
 def test_visualize_untiled_module_matches_direct_forward(synth_dataset):
     """Equality check behind the driver fix: with an untiled module and a
     geometry-agnostic forward, the stitched prediction is EXACTLY the
