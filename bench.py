@@ -13,6 +13,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import json
+import os
 import time
 
 import jax
@@ -47,17 +48,28 @@ def peak_tflops() -> float:
     return 197.0
 
 
-def _backend_with_retry(attempts: int = 4, delay: float = 45.0) -> str:
-    """The axon TPU plugin's claim can transiently fail if another process
-    held the chip recently; retry before giving up to CPU."""
-    for i in range(attempts):
-        try:
-            return jax.default_backend()
-        except RuntimeError:
-            if i == attempts - 1:
-                raise
-            time.sleep(delay)
-    return "cpu"
+def _backend_with_retry(attempts: int = 30, delay: float = 60.0) -> str:
+    """The axon TPU plugin's chip claim fails while a previous holder's
+    lease lingers (10-30 min observed), and xla_bridge CACHES the failed
+    plugin init within the process — an in-process retry can never recover.
+    Retry by re-exec'ing this script in a fresh interpreter (same PID and
+    stdout, so the driver that invoked us sees one process and one JSON
+    line); an env counter bounds the recursion."""
+    try:
+        return jax.default_backend()
+    except RuntimeError:
+        import sys
+
+        attempt = int(os.environ.get("ORBIT2_BENCH_CLAIM_ATTEMPT", "0"))
+        if attempt >= attempts:
+            raise
+        print(f"chip claim failed (attempt {attempt}); re-exec in {delay:.0f}s",
+              file=sys.stderr, flush=True)
+        time.sleep(delay)
+        env = dict(os.environ)
+        env["ORBIT2_BENCH_CLAIM_ATTEMPT"] = str(attempt + 1)
+        os.execve(sys.executable, [sys.executable, os.path.abspath(__file__)],
+                  env)
 
 
 def bench_scale(*, embed, depth, heads, batch, img, remat, dtype, iters,

@@ -340,7 +340,11 @@ class Trainer:
                     self.opt_state = set_learning_rate(
                         self.opt_state, self.lr_schedule(epoch))
                     t0 = time.perf_counter()
-                    epoch_loss, nbatches = 0.0, 0
+                    # losses stay on-device until epoch end: a float() here
+                    # would sync every step and stall dispatch pipelining
+                    # (the host must run ahead to overlap data staging with
+                    # compute — device_prefetch only helps if it can)
+                    step_losses, nbatches = [], 0
 
                     # multi-process: the train step is one collective SPMD
                     # program, so every process must take the SAME number of
@@ -384,8 +388,10 @@ class Trainer:
                             else:
                                 self.params, self.opt_state, loss = train_step(
                                     self.params, self.opt_state, x, y, step_rng)
-                        epoch_loss += float(loss)
+                        step_losses.append(loss)
                         nbatches += 1
+                    epoch_loss = (float(jnp.stack(step_losses).sum())
+                                  if step_losses else 0.0)
                     dt = time.perf_counter() - t0
                     record = {
                         "epoch": epoch, "data_key": data_key,

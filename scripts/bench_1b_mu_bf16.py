@@ -78,13 +78,16 @@ def measure(batch, remat, remat_policy, mu_dtype, iters=10):
 
 
 def main():
-    for i in range(6):
-        try:
-            print("backend:", jax.default_backend(), flush=True)
-            break
-        except RuntimeError as e:
-            print(f"backend retry {i}: {e}", flush=True)
-            time.sleep(45)
+    # the chip lease from the previous holder can take 10+ min to release,
+    # and xla_bridge CACHES a failed plugin init within the process — an
+    # in-process retry loop never recovers. Exit 7 so a shell loop can
+    # retry in a fresh interpreter:
+    #   until python scripts/bench_1b_mu_bf16.py; do sleep 60; done
+    try:
+        print("backend:", jax.default_backend(), flush=True)
+    except RuntimeError as e:
+        print(f"backend claim failed: {e}", flush=True)
+        raise SystemExit(7)
     results = []
     for batch, remat, policy, mu in [
         (3, False, "full", "bfloat16"),  # the open lead

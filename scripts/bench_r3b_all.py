@@ -1,0 +1,219 @@
+"""Round-3b consolidated TPU run — ONE chip claim does everything.
+
+The pooled chip's claim is contended (grants are erratic, minutes-to-an-hour
+apart), so every pending experiment runs in one process hold:
+
+  A. 1B single-batch sweep with bf16 adam first moment (mu): can b3/b4
+     no-remat fit in the freed ~1.9GB and beat the 51.3% MFU b2 record?
+  B. 1B effective-batch-32 (the reference workload unit) with bf16 mu under
+     lighter remat: beat the recorded 45.0% (accum16 x mb2, full remat)?
+  C. Trainer-harness throughput at the 117M bench shape: the shipped
+     Trainer.fit (data pipeline + deferred loss readback) vs bench.py's raw
+     loop (40.24 samples/s basis) — the harness tax measurement.
+
+Retry contract: exits 7 when the chip claim fails — run under
+  until PYTHONPATH=/root/repo python scripts/bench_r3b_all.py; do sleep 240; done
+Writes /tmp/r3b_all.json as it goes.
+"""
+
+import json
+import os
+import shutil
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+DEFAULT_VARS = (
+    "land_sea_mask", "orography", "lattitude", "landcover",
+    "total_precipitation_24hr", "2m_temperature_min", "2m_temperature_max",
+)
+OUT_VARS = DEFAULT_VARS[4:]
+PEAK = 197e12
+IMG = (64, 128)
+RESULTS = []
+
+
+def record(r):
+    RESULTS.append(r)
+    print(json.dumps(r), flush=True)
+    with open("/tmp/r3b_all.json", "w") as f:
+        json.dump(RESULTS, f, indent=1)
+
+
+def measure_1b(tag, batch, remat, policy, mu_dtype, grad_accum=1, iters=None):
+    from orbit2_tpu.models import ResSlimViT
+    from orbit2_tpu.registry import METRICS_REGISTRY
+    import orbit2_tpu.metrics.metrics  # noqa: F401
+    from orbit2_tpu.training.optim import make_optimizer
+    from orbit2_tpu.training.train import make_train_step
+
+    model = ResSlimViT(
+        default_vars=DEFAULT_VARS, img_size=IMG, in_channels=7, out_channels=3,
+        superres_mag=4, patch_size=2, embed_dim=3072, depth=8,
+        decoder_depth=2, num_heads=24, learn_pos_emb=True,
+        spatial_resolution=111.0, attention_impl="auto", remat=remat,
+        remat_policy=policy, dtype=jnp.bfloat16, drop_rate=0.1, drop_path=0.1,
+    )
+    rng = np.random.default_rng(0)
+    B = batch * grad_accum
+    x = jnp.asarray(rng.normal(size=(B, 7) + IMG), jnp.float32)
+    y = jnp.asarray(rng.normal(size=(B, 3, IMG[0] * 4, IMG[1] * 4)),
+                    jnp.float32)
+    params = model.init({"params": jax.random.PRNGKey(0)}, x[:1], DEFAULT_VARS,
+                        OUT_VARS, deterministic=True)["params"]
+    n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    tx = make_optimizer("adamw", {"lr": 1e-4, "weight_decay": 1e-5,
+                                  "mu_dtype": mu_dtype})
+    opt = tx.init(params)
+    loss_metric = METRICS_REGISTRY["bayesian_tv"](aggregate_only=True)
+    step = make_train_step(model, loss_metric, None, tx, DEFAULT_VARS,
+                           OUT_VARS, grad_accum=grad_accum)
+
+    if iters is None:
+        iters = 3 if grad_accum > 1 else 10
+    key = jax.random.key(1, impl="rbg")
+    for _ in range(2 if grad_accum > 1 else 3):
+        key, sub = jax.random.split(key)
+        params, opt, loss = step(params, opt, x, y, sub)
+    float(loss)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        key, sub = jax.random.split(key)
+        params, opt, loss = step(params, opt, x, y, sub)
+    lv = float(loss)
+    dt = (time.perf_counter() - t0) / iters
+    tokens = (IMG[0] // 2) * (IMG[1] // 2)
+    del params, opt, x, y
+    return dict(case=tag, batch=batch, grad_accum=grad_accum, remat=remat,
+                policy=policy, mu_dtype=mu_dtype, ms=round(dt * 1e3, 1),
+                mfu=round(6.0 * n * tokens * B / dt / PEAK, 4),
+                samples_s=round(B / dt, 3), loss=lv)
+
+
+# ---- C: Trainer-harness throughput at the 117M bench shape -----------------
+
+H, W, MAG, BATCH, T_PER_FILE = 64, 128, 4, 8, 64
+
+
+def make_synth(root):
+    rng = np.random.default_rng(0)
+
+    def write_split(base, h, w, variables, n_files=2):
+        for split in ("train", "val", "test"):
+            d = os.path.join(base, split)
+            os.makedirs(d, exist_ok=True)
+            nf = n_files if split == "train" else 1
+            tt = T_PER_FILE if split == "train" else 8
+            for i in range(nf):
+                arrays = {}
+                for v in variables:
+                    if v == "total_precipitation_24hr":
+                        a = rng.gamma(0.3, 0.004, size=(tt, 1, h, w))
+                    else:
+                        a = rng.normal(280, 10, size=(tt, 1, h, w))
+                    arrays[v] = a.astype(np.float32)
+                np.savez(os.path.join(d, f"shard_{i}.npz"), **arrays)
+            np.savez(os.path.join(d, "climatology.npz"),
+                     **{v: rng.normal(280, 1, size=(1, h, w)).astype(np.float32)
+                        for v in variables})
+        np.save(os.path.join(base, "lat.npy"),
+                np.linspace(-88, 88, h).astype(np.float32))
+        np.save(os.path.join(base, "lon.npy"),
+                np.linspace(0, 358, w).astype(np.float32))
+        np.savez(os.path.join(base, "normalize_mean.npz"),
+                 **{v: np.array([280.0], np.float32) for v in variables})
+        np.savez(os.path.join(base, "normalize_std.npz"),
+                 **{v: np.array([10.0], np.float32) for v in variables})
+
+    low, high = os.path.join(root, "low"), os.path.join(root, "high")
+    write_split(low, H, W, list(DEFAULT_VARS))
+    write_split(high, H * MAG, W * MAG, list(OUT_VARS))
+    return low, high
+
+
+def trainer_harness():
+    from orbit2_tpu.config import load_config
+    from orbit2_tpu.training.trainer import Trainer
+
+    base = "/tmp/bench_harness"
+    shutil.rmtree(base, ignore_errors=True)
+    low, high = make_synth(os.path.join(base, "synth"))
+    cfg = load_config({
+        "trainer": {"max_epochs": 3, "batch_size": BATCH, "buffer_size": 16,
+                    "num_workers": 2, "data_type": "bfloat16",
+                    "train_loss": "bayesian_tv", "remat": False},
+        "parallelism": {},
+        "tiling": {"do_tiling": False},
+        "model": {"preset": "res_slimvit", "lr": 1e-4, "warmup_epochs": 1,
+                  "superres_mag": MAG, "patch_size": 2, "embed_dim": 1024,
+                  "depth": 8, "decoder_depth": 2, "num_heads": 16,
+                  "drop_path": 0.1, "drop_rate": 0.1,
+                  "attention_impl": "auto"},
+        "data": {"low_res_dir": {"S": low}, "high_res_dir": {"S": high},
+                 "spatial_resolution": {"S": 111},
+                 "default_vars": list(DEFAULT_VARS),
+                 "dict_in_variables": {"S": list(DEFAULT_VARS)},
+                 "dict_out_variables": {"S": list(OUT_VARS)},
+                 "var_weights": {}},
+    })
+    t = Trainer(cfg, checkpoint_dir=os.path.join(base, "ck"),
+                async_checkpoints=True)
+    hist = t.fit()  # epoch 0 pays compile; epochs 1-2 measure
+    sps = [h["batches"] * BATCH / h["seconds"] for h in hist[1:]]
+    tokens = (H // 2) * (W // 2)
+    return {
+        "case": "C_trainer_harness_117m",
+        "samples_s": round(float(np.mean(sps)), 3),
+        "per_epoch": [round(s, 3) for s in sps],
+        "epoch_seconds": [round(h["seconds"], 2) for h in hist],
+        "mfu": round(6 * 109.41e6 * tokens * float(np.mean(sps)) / PEAK, 4),
+        "bench_raw_loop_basis": 40.24,
+        "harness_efficiency": round(float(np.mean(sps)) / 40.24, 4),
+        "losses": [round(h["loss"], 4) for h in hist],
+    }
+
+
+def main():
+    try:
+        print("backend:", jax.default_backend(), flush=True)
+    except RuntimeError as e:
+        print(f"backend claim failed: {e}", flush=True)
+        raise SystemExit(7)
+
+    cases = [
+        # A: single-batch bf16-mu sweep (b2 = control: does bf16 mu alone
+        # move the 51.3% b2/fp32 record?)
+        ("A", dict(tag="A_b3_noremat_mu16", batch=3, remat=False,
+                   policy="full", mu_dtype="bfloat16")),
+        ("A", dict(tag="A_b2_noremat_mu16", batch=2, remat=False,
+                   policy="full", mu_dtype="bfloat16")),
+        ("A", dict(tag="A_b4_noremat_mu16", batch=4, remat=False,
+                   policy="full", mu_dtype="bfloat16")),
+        # B: effective-batch-32 with lighter remat than the 45.0% record
+        ("B", dict(tag="B_mb2_acc16_noremat_mu16", batch=2, grad_accum=16,
+                   remat=False, policy="full", mu_dtype="bfloat16")),
+        ("B", dict(tag="B_mb2_acc16_dots_mu16", batch=2, grad_accum=16,
+                   remat=True, policy="dots", mu_dtype="bfloat16")),
+        ("B", dict(tag="B_mb4_acc8_dots_mu16", batch=4, grad_accum=8,
+                   remat=True, policy="dots", mu_dtype="bfloat16")),
+    ]
+    for _, kw in cases:
+        try:
+            r = measure_1b(**kw)
+        except Exception as e:
+            r = dict(case=kw["tag"],
+                     error=f"{type(e).__name__}: {str(e)[:200]}")
+        record(r)
+
+    try:
+        record(trainer_harness())
+    except Exception as e:
+        record(dict(case="C_trainer_harness_117m",
+                    error=f"{type(e).__name__}: {str(e)[:300]}"))
+    print("R3B ALL DONE", flush=True)
+
+
+if __name__ == "__main__":
+    main()
