@@ -73,7 +73,7 @@ def _backend_with_retry(attempts: int = 30, delay: float = 60.0) -> str:
 
 
 def bench_scale(*, embed, depth, heads, batch, img, remat, dtype, iters,
-                decoder_depth=2):
+                decoder_depth=2, mu_dtype=None):
     """One measured config; returns (dt_seconds, n_params, loss)."""
     from orbit2_tpu.models import ResSlimViT
     from orbit2_tpu.registry import METRICS_REGISTRY
@@ -98,7 +98,8 @@ def bench_scale(*, embed, depth, heads, batch, img, remat, dtype, iters,
                         OUT_VARS, deterministic=True)["params"]
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
 
-    tx = make_optimizer("adamw", {"lr": 1e-4, "weight_decay": 1e-5})
+    tx = make_optimizer("adamw", {"lr": 1e-4, "weight_decay": 1e-5,
+                                  "mu_dtype": mu_dtype})
     opt_state = tx.init(params)
     loss_metric = METRICS_REGISTRY["bayesian_tv"](aggregate_only=True)
     step = make_train_step(model, loss_metric, None, tx, DEFAULT_VARS, OUT_VARS)
@@ -169,10 +170,13 @@ def main():
 
     if on_tpu:  # 0.97B single-chip — measured, not recorded. No remat: the
         # fused in-kernel dropout removed the mask residuals, so b2 fits HBM
-        # (r2 sweep: remat-full 45.2%, dots 49.3%, none 53.4% MFU)
+        # (r2 sweep: remat-full 45.2%, dots 49.3%, none 53.4% MFU). bf16
+        # adam first moment (configs/interm_1b.yaml adam_mu_dtype): less
+        # optimizer HBM traffic, measured +2.8pt MFU at b2 (r3b sweep);
+        # fp32 master params and fp32 second moment are retained.
         dt1b, n1b, loss1b = bench_scale(
             embed=3072, depth=8, heads=24, batch=2, img=(64, 128),
-            remat=False, dtype=dtype, iters=10)
+            remat=False, dtype=dtype, iters=10, mu_dtype="bfloat16")
         mfu1b = 6.0 * n1b * tokens * 2 / dt1b / peak
         result.update({
             "measured_1b_samples_per_sec": round(2 / dt1b, 4),
