@@ -390,6 +390,13 @@ class Trainer:
                                     self.params, self.opt_state, x, y, step_rng)
                         step_losses.append(loss)
                         nbatches += 1
+                        # periodic fence: deferring every readback would let
+                        # the host dispatch an entire epoch ahead, pinning
+                        # each staged batch in HBM until its step runs. One
+                        # sync per 32 steps keeps dispatch pipelined while
+                        # bounding run-ahead residency to <=32 batches.
+                        if nbatches % 32 == 0:
+                            float(loss)
                     epoch_loss = (float(jnp.stack(step_losses).sum())
                                   if step_losses else 0.0)
                     dt = time.perf_counter() - t0

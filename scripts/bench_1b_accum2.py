@@ -6,8 +6,9 @@ Candidates: lighter remat under the accumulation scan (the accumulated
 fp32 grad buffer ~3.9GB is the extra tenant; bf16 mu frees ~1.9GB back),
 and a larger microbatch amortizing the small-op tax.
 
-Retry contract: exits 7 when the chip claim fails (lease lockout) — run
-  until PYTHONPATH=/root/repo python scripts/bench_1b_accum2.py; do sleep 300; done
+Retry contract: exits 7 when the chip claim fails — run
+  until PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_1b_accum2.py; do sleep 60; done
+(keep /root/.axon_site on PYTHONPATH — it registers the TPU plugin)
 """
 
 import json

@@ -7,8 +7,9 @@ fit, and larger batch amortizes the LN/small-op tax. fp32 master params and
 fp32 nu are retained, so this stays an OPT-IN config if it wins (numerics
 differ slightly from the reference's fp32 optimizer state).
 
-Run alone (one python process owns the chip):
-  nohup python scripts/bench_1b_mu_bf16.py > /tmp/1b_mu.log 2>&1 &
+Run alone (one python process owns the chip), from /root/repo with
+/root/.axon_site kept on PYTHONPATH:
+  until PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_1b_mu_bf16.py; do sleep 60; done
 """
 
 import json

@@ -1,7 +1,8 @@
 """Round-3b consolidated TPU run — ONE chip claim does everything.
 
-The pooled chip's claim is contended (grants are erratic, minutes-to-an-hour
-apart), so every pending experiment runs in one process hold:
+Claim/release cycles between separate scripts waste time (and a failed
+plugin init is cached per-process), so every pending experiment runs in
+one process hold:
 
   A. 1B single-batch sweep with bf16 adam first moment (mu): can b3/b4
      no-remat fit in the freed ~1.9GB and beat the 51.3% MFU b2 record?
@@ -12,8 +13,10 @@ apart), so every pending experiment runs in one process hold:
      loop (40.24 samples/s basis) — the harness tax measurement.
 
 Retry contract: exits 7 when the chip claim fails — run under
-  until PYTHONPATH=/root/repo python scripts/bench_r3b_all.py; do sleep 240; done
-Writes /tmp/r3b_all.json as it goes.
+  until PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_r3b_all.py; do sleep 60; done
+(/root/.axon_site MUST stay on PYTHONPATH — it hosts the sitecustomize that
+registers the TPU plugin; clobbering it makes every claim fail.)
+Writes $ORBIT2_R3B_OUT (default /tmp/r3b_all.json) as it goes.
 """
 
 import json
@@ -38,7 +41,8 @@ RESULTS = []
 def record(r):
     RESULTS.append(r)
     print(json.dumps(r), flush=True)
-    with open("/tmp/r3b_all.json", "w") as f:
+    out = os.environ.get("ORBIT2_R3B_OUT", "/tmp/r3b_all.json")
+    with open(out, "w") as f:
         json.dump(RESULTS, f, indent=1)
 
 

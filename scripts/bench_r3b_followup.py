@@ -12,10 +12,14 @@ Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_r3b_followup.py
 
 import gc
 import json
+import os
 
 import jax
 
-from bench_r3b_all import RESULTS, measure_1b, record, trainer_harness  # noqa: F401
+# write to a separate file so the main sweep's saved results survive
+os.environ.setdefault("ORBIT2_R3B_OUT", "/tmp/r3b_followup.json")
+
+from bench_r3b_all import RESULTS, measure_1b, record, trainer_harness  # noqa: F401,E402
 
 
 def main():

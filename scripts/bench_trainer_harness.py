@@ -1,132 +1,33 @@
 """Production-path throughput: the shipped Trainer vs bench.py's raw loop.
 
-bench.py measures a bare jitted step loop; real training runs through
-Trainer.fit (data loading, device_prefetch staging, metrics, epoch
-bookkeeping). This drives Trainer.fit at the 117M bench shape on a synthetic
-on-disk dataset and reports samples/s for comparison with bench.py's
-`train_samples_per_sec_per_chip_117m_bf16` — the gap IS the harness tax.
+Thin standalone entry for case C of scripts/bench_r3b_all.py (synthetic
+on-disk dataset + Trainer.fit at the 117M bench shape); the implementation
+lives there so the dataset writer / config / measurement can't diverge
+between scripts. Result interpretation: on the axon tunnel the gap vs the
+raw loop is relay H2D bandwidth, not harness logic (docs/performance.md
+"Trainer-vs-raw-loop").
 
-The trainer defers loss readback to epoch end (trainer.py fit loop), so the
-host can run ahead staging batches; this script is the measurement for that
-design choice.
-
-Run alone (one python process owns the chip):
-  PYTHONPATH=/root/repo python scripts/bench_trainer_harness.py
+Exit 7 on claim failure; retry in fresh interpreters:
+  until PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_trainer_harness.py; do sleep 60; done
 """
 
 import json
 import os
-import shutil
 
-import numpy as np
+import jax
 
-BASE = "/tmp/bench_harness"
-IN_VARS = [
-    "land_sea_mask", "orography", "lattitude", "landcover",
-    "total_precipitation_24hr", "2m_temperature_min", "2m_temperature_max",
-]
-OUT_VARS = IN_VARS[4:]
-H, W, MAG = 64, 128, 4
-BATCH = 8          # bench.py's 117M batch
-T_PER_FILE = 64    # 2 files x 64 = 128 samples -> 16 steps/epoch
-PEAK = 197e12
+os.environ.setdefault("ORBIT2_R3B_OUT", "/tmp/bench_harness.json")
 
-
-def make_synth(root):
-    rng = np.random.default_rng(0)
-
-    def write_split(base, h, w, variables, n_files=2):
-        for split in ("train", "val", "test"):
-            d = os.path.join(base, split)
-            os.makedirs(d, exist_ok=True)
-            nf = n_files if split == "train" else 1
-            tt = T_PER_FILE if split == "train" else 8
-            for i in range(nf):
-                arrays = {}
-                for v in variables:
-                    if v == "total_precipitation_24hr":
-                        a = rng.gamma(0.3, 0.004, size=(tt, 1, h, w))
-                    else:
-                        a = rng.normal(280, 10, size=(tt, 1, h, w))
-                    arrays[v] = a.astype(np.float32)
-                np.savez(os.path.join(d, f"shard_{i}.npz"), **arrays)
-            np.savez(os.path.join(d, "climatology.npz"),
-                     **{v: rng.normal(280, 1, size=(1, h, w)).astype(np.float32)
-                        for v in variables})
-        np.save(os.path.join(base, "lat.npy"),
-                np.linspace(-88, 88, h).astype(np.float32))
-        np.save(os.path.join(base, "lon.npy"),
-                np.linspace(0, 358, w).astype(np.float32))
-        np.savez(os.path.join(base, "normalize_mean.npz"),
-                 **{v: np.array([280.0], np.float32) for v in variables})
-        np.savez(os.path.join(base, "normalize_std.npz"),
-                 **{v: np.array([10.0], np.float32) for v in variables})
-
-    low, high = os.path.join(root, "low"), os.path.join(root, "high")
-    write_split(low, H, W, IN_VARS)
-    write_split(high, H * MAG, W * MAG, OUT_VARS)
-    return low, high
+from bench_r3b_all import record, trainer_harness  # noqa: E402
 
 
 def main():
-    import jax
-
-    # chip lease from a previous holder takes 10-30 min to release, and a
-    # failed plugin init is cached in-process — retry in fresh interpreters:
-    #   until python scripts/bench_trainer_harness.py; do sleep 60; done
     try:
         print("backend:", jax.default_backend(), flush=True)
     except RuntimeError as e:
         print(f"backend claim failed: {e}", flush=True)
         raise SystemExit(7)
-
-    from orbit2_tpu.config import load_config
-    from orbit2_tpu.training.trainer import Trainer
-
-    shutil.rmtree(BASE, ignore_errors=True)
-    low, high = make_synth(os.path.join(BASE, "synth"))
-
-    cfg = load_config({
-        "trainer": {"max_epochs": 3, "batch_size": BATCH, "buffer_size": 16,
-                    "num_workers": 2, "data_type": "bfloat16",
-                    "train_loss": "bayesian_tv", "remat": False},
-        "parallelism": {},
-        "tiling": {"do_tiling": False},
-        # bench.py's 117M shape: embed 1024, depth 8, heads 16
-        "model": {"preset": "res_slimvit", "lr": 1e-4, "warmup_epochs": 1,
-                  "superres_mag": MAG, "patch_size": 2, "embed_dim": 1024,
-                  "depth": 8, "decoder_depth": 2, "num_heads": 16,
-                  "drop_path": 0.1, "drop_rate": 0.1,
-                  "attention_impl": "auto"},
-        "data": {"low_res_dir": {"S": low}, "high_res_dir": {"S": high},
-                 "spatial_resolution": {"S": 111},
-                 "default_vars": IN_VARS,
-                 "dict_in_variables": {"S": IN_VARS},
-                 "dict_out_variables": {"S": OUT_VARS},
-                 "var_weights": {}},
-    })
-    t = Trainer(cfg, checkpoint_dir=os.path.join(BASE, "ck"),
-                async_checkpoints=True)
-    hist = t.fit()  # epoch 0 pays compile; epochs 1-2 are the measurement
-    for h in hist:
-        print(json.dumps({k: round(v, 4) if isinstance(v, float) else v
-                          for k, v in h.items()}), flush=True)
-    measured = hist[1:]  # skip the compile epoch
-    sps = [h["batches"] * BATCH / h["seconds"] for h in measured]
-    n_params = 109.41e6
-    tokens = (H // 2) * (W // 2)
-    result = {
-        "metric": "trainer_fit_samples_per_sec_117m",
-        "value": round(float(np.mean(sps)), 3),
-        "unit": "samples/s/chip",
-        "per_epoch": [round(s, 3) for s in sps],
-        "mfu": round(6 * n_params * tokens * float(np.mean(sps)) / PEAK, 4),
-        "bench_raw_loop_basis": 40.24,  # BENCH r3 bench.py 117M value
-        "harness_efficiency": round(float(np.mean(sps)) / 40.24, 4),
-    }
-    print(json.dumps(result), flush=True)
-    with open("/tmp/bench_harness.json", "w") as f:
-        json.dump(result, f, indent=1)
+    record(trainer_harness())
 
 
 if __name__ == "__main__":
