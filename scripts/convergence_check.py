@@ -58,8 +58,8 @@ def make_batch(rng, n):
     return jnp.asarray(x), jnp.asarray(y)
 
 
-def main(drop=0.0):
-    print(f"== dropout {drop} ==", flush=True)
+def main(drop=0.0, mu_dtype=None):
+    print(f"== dropout {drop} mu_dtype {mu_dtype or 'float32'} ==", flush=True)
     rng = np.random.default_rng(0)
     model = ResSlimViT(
         default_vars=DEFAULT_VARS, img_size=(H, W), in_channels=5,
@@ -71,7 +71,8 @@ def main(drop=0.0):
     params = model.init({"params": jax.random.PRNGKey(0)}, x0, DEFAULT_VARS,
                         OUT_VARS, deterministic=True)["params"]
     tx = make_optimizer("adamw", {"lr": 2e-3, "weight_decay": 1e-5,
-                                  "betas": (0.9, 0.99)})
+                                  "betas": (0.9, 0.99),
+                                  "mu_dtype": mu_dtype})
     opt = tx.init(params)
     sched = linear_warmup_cosine_annealing(2e-3, 20, 300, 1e-7, 1e-8)
     loss_metric = METRICS_REGISTRY["bayesian_tv"](aggregate_only=True)
@@ -113,4 +114,7 @@ if __name__ == "__main__":
 
     # --dropout: train through the full production stochastic path (pallas
     # in-kernel attention dropout + fused elementwise dropout + drop-path)
-    main(drop=0.1 if "--dropout" in sys.argv else 0.0)
+    # --mu-bf16: bf16 adam first moment, the shipped interm_1b default —
+    # verifies the optimizer-state compression doesn't hurt convergence
+    main(drop=0.1 if "--dropout" in sys.argv else 0.0,
+         mu_dtype="bfloat16" if "--mu-bf16" in sys.argv else None)

@@ -100,3 +100,45 @@ def test_itermodule_samplestore_flag(synth_dataset, monkeypatch):
     # divisible by batch size), different batch composition
     assert sum(e1) == pytest.approx(sum(e2), rel=1e-5)
     assert e1 != e2  # different epoch order
+
+
+def test_trainer_end_to_end_with_samplestore(synth_dataset, tmp_path,
+                                             monkeypatch):
+    """Full Trainer.fit with ORBIT2_USE_SAMPLESTORE=1 (the reference's
+    ORBIT_USE_DDSTORE seam runs inside its training driver, not just the
+    dataloader): epoch 0 drains the pipeline into the C++ arena store,
+    epoch 1 re-serves from RAM; losses finite, checkpoint written."""
+    import os
+
+    from orbit2_tpu.config import load_config
+    from orbit2_tpu.training.trainer import Trainer
+
+    ds = synth_dataset
+    monkeypatch.setenv("ORBIT2_USE_SAMPLESTORE", "1")
+    cfg = load_config({
+        "trainer": {"max_epochs": 2, "batch_size": 4, "buffer_size": 8,
+                    "num_workers": 0, "data_type": "float32",
+                    "train_loss": "bayesian_tv", "remat": False},
+        "parallelism": {"fsdp": 2},
+        "tiling": {"do_tiling": False},
+        "model": {"preset": "res_slimvit", "lr": 1e-3, "warmup_epochs": 1,
+                  "superres_mag": 4, "patch_size": 2, "embed_dim": 32,
+                  "depth": 1, "decoder_depth": 1, "num_heads": 2,
+                  "drop_path": 0.0, "drop_rate": 0.0,
+                  "attention_impl": "xla"},
+        "data": {"low_res_dir": {"S": ds["low"]},
+                 "high_res_dir": {"S": ds["high"]},
+                 "spatial_resolution": {"S": 625},
+                 "default_vars": list(ds["in_vars"]),
+                 "dict_in_variables": {"S": list(ds["in_vars"])},
+                 "dict_out_variables": {"S": list(ds["out_vars"])},
+                 "var_weights": {}},
+    })
+    t = Trainer(cfg, checkpoint_dir=str(tmp_path / "ck"))
+    hist = t.fit(max_epochs=2)
+    assert len(hist) == 2
+    assert all(np.isfinite(h["loss"]) for h in hist)
+    # both epochs saw every sample (2 files x T samples, drop_last)
+    expected = (2 * ds["T"]) // 4
+    assert [h["batches"] for h in hist] == [expected, expected]
+    assert os.path.isdir(tmp_path / "ck" / "epoch_1")
