@@ -146,6 +146,34 @@ def test_checkpoint_roundtrip(tmp_path):
     assert int(got["epoch"]) == 3
 
 
+def test_checkpoint_resume_across_adam_mu_dtype(tmp_path):
+    """configs/interm_1b.yaml ships adam_mu_dtype: bfloat16; a run started
+    before that default (fp32 first moment on disk) must still resume —
+    Orbax casts restored leaves to the template's dtype, so the fp32 mu
+    quantizes once on restore and the run continues self-consistently."""
+    from orbit2_tpu.training import checkpoint as ck
+    from orbit2_tpu.training.optim import make_optimizer
+
+    params = {"w": jnp.linspace(-1.0, 1.0, 16).reshape(4, 4)}
+    tx32 = make_optimizer("adamw", {"lr": 1e-3, "mu_dtype": "float32"})
+    path = str(tmp_path / "mu_ck")
+    ck.save_checkpoint(path, {"params": params, "opt_state": tx32.init(params),
+                              "epoch": 0})
+
+    tx16 = make_optimizer("adamw", {"lr": 1e-3, "mu_dtype": "bfloat16"})
+    template = {"params": params, "opt_state": tx16.init(params), "epoch": 0}
+    restored = ck.restore_checkpoint(path, template)
+    # the restored opt state must be usable by the bf16-mu optimizer: dtypes
+    # follow the template (mu -> bf16), and an update step runs
+    tdtypes = {jax.tree_util.keystr(p): l.dtype for p, l in
+               jax.tree_util.tree_flatten_with_path(template["opt_state"])[0]}
+    for p, l in jax.tree_util.tree_flatten_with_path(restored["opt_state"])[0]:
+        assert l.dtype == tdtypes[jax.tree_util.keystr(p)], p
+    grads = {"w": jnp.ones((4, 4))}
+    updates, _ = tx16.update(grads, restored["opt_state"], params)
+    assert np.isfinite(np.asarray(updates["w"])).all()
+
+
 def test_trainer_multiphase_curriculum(synth_dataset, tmp_path):
     """Two dataset phases with different image sizes: the curriculum loop
     must re-specialize (for_phase) per data_key while sharing params
