@@ -142,7 +142,10 @@ def main():
         cfg117 = dict(embed=128, depth=2, heads=4, batch=2, img=(16, 32),
                       remat=False, iters=3)
 
-    dt, n_params, loss = bench_scale(dtype=dtype, **cfg117)
+    # bf16 adam first moment, the shipped config default (configs/*.yaml
+    # adam_mu_dtype; measured 197.4 -> 194.4 ms at 117M, +2.8pt MFU at 1B)
+    dt, n_params, loss = bench_scale(dtype=dtype, mu_dtype="bfloat16",
+                                     **cfg117)
     batch, img = cfg117["batch"], cfg117["img"]
     tokens = (img[0] // 2) * (img[1] // 2)
     # fwd+bwd ~ 6 * params * tokens per sample for the ViT trunk (BASELINE.md)
