@@ -58,23 +58,34 @@ def make_batch(rng, n):
     return jnp.asarray(x), jnp.asarray(y)
 
 
-def main(drop=0.0, mu_dtype=None):
-    print(f"== dropout {drop} mu_dtype {mu_dtype or 'float32'} ==", flush=True)
+SCALES = {
+    # embed, depth, heads, batch, lr, steps
+    "8m": (256, 6, 4, 32, 2e-3, 300),
+    "117m": (1024, 8, 16, 8, 1e-3, 800),
+}
+
+
+def main(drop=0.0, mu_dtype=None, scale="8m"):
+    embed, depth, heads, batch, lr, steps = SCALES[scale]
+    print(f"== scale {scale} dropout {drop} mu_dtype {mu_dtype or 'float32'}"
+          f" ==", flush=True)
+    global B
+    B = batch
     rng = np.random.default_rng(0)
     model = ResSlimViT(
         default_vars=DEFAULT_VARS, img_size=(H, W), in_channels=5,
-        out_channels=1, superres_mag=MAG, patch_size=2, embed_dim=256,
-        depth=6, decoder_depth=4, num_heads=4, learn_pos_emb=True,
+        out_channels=1, superres_mag=MAG, patch_size=2, embed_dim=embed,
+        depth=depth, decoder_depth=4, num_heads=heads, learn_pos_emb=True,
         spatial_resolution=111.0, attention_impl="auto",
         dtype=jnp.bfloat16, drop_rate=drop, drop_path=drop)
     x0, y0 = make_batch(rng, B)
     params = model.init({"params": jax.random.PRNGKey(0)}, x0, DEFAULT_VARS,
                         OUT_VARS, deterministic=True)["params"]
-    tx = make_optimizer("adamw", {"lr": 2e-3, "weight_decay": 1e-5,
+    tx = make_optimizer("adamw", {"lr": lr, "weight_decay": 1e-5,
                                   "betas": (0.9, 0.99),
                                   "mu_dtype": mu_dtype})
     opt = tx.init(params)
-    sched = linear_warmup_cosine_annealing(2e-3, 20, 300, 1e-7, 1e-8)
+    sched = linear_warmup_cosine_annealing(lr, 20, steps, 1e-7, 1e-8)
     loss_metric = METRICS_REGISTRY["bayesian_tv"](aggregate_only=True)
     step = make_train_step(model, loss_metric, None, tx, DEFAULT_VARS, OUT_VARS)
 
@@ -88,7 +99,6 @@ def main(drop=0.0, mu_dtype=None):
                                             OUT_VARS, deterministic=True))
     key = jax.random.key(7, impl="rbg")
     t0 = time.perf_counter()
-    steps = 300
     for i in range(steps):
         opt = set_learning_rate(opt, sched(i))
         xb, yb = make_batch(rng, B)
@@ -116,5 +126,9 @@ if __name__ == "__main__":
     # in-kernel attention dropout + fused elementwise dropout + drop-path)
     # --mu-bf16: bf16 adam first moment, the shipped interm_1b default —
     # verifies the optimizer-state compression doesn't hurt convergence
+    # --scale 117m: the bench-shape model (embed 1024 x depth 8), 200 steps
+    scale = "117m" if "--scale" in sys.argv and \
+        sys.argv[sys.argv.index("--scale") + 1] == "117m" else "8m"
     main(drop=0.1 if "--dropout" in sys.argv else 0.0,
-         mu_dtype="bfloat16" if "--mu-bf16" in sys.argv else None)
+         mu_dtype="bfloat16" if "--mu-bf16" in sys.argv else None,
+         scale=scale)
