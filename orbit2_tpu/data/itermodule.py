@@ -257,14 +257,26 @@ class IterDataModule:
         number of steps — the Trainer gathers these counts to clamp (train)
         or pad (eval) ranks whose file shards yield fewer samples. Counting
         peeks the upcoming epoch's file permutation without advancing the
-        shuffle rng, so call it BEFORE creating the epoch's iterator.
-        (The samplestore path serves the same samples the streaming
-        pipeline yields, so the count is identical.)"""
+        shuffle rng, so call it BEFORE creating the epoch's iterator."""
         data = {"train": self.data_train, "val": self.data_val,
                 "test": self.data_test}[split]
         if data is None:
             raise RuntimeError("You must call setup() before num_batches")
-        n = data.num_samples()
+        if split == "train" and int(os.environ.get("ORBIT2_USE_SAMPLESTORE",
+                                                   "0")):
+            # the store serves the UNSHUFFLED file shard — membership is
+            # FIXED, not the streaming loader's per-epoch permutation.
+            # With unequal file lengths the two counts differ, and a train
+            # clamp computed from the wrong one desynchronizes multi-process
+            # collectives. Count what the store will actually serve.
+            if getattr(self, "_store_loader", None) is not None:
+                return len(self._store_loader)
+            fill_iter, _ = self._pipeline(
+                self.inp_lister_train, self.out_lister_train,
+                shuffle=False, seed_offset=0)
+            n = fill_iter.num_samples()
+        else:
+            n = data.num_samples()
         if split == "train" and self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size

@@ -138,15 +138,25 @@ def process_era5_extreme(source_npz: str, target: str,
         os.makedirs(out_dir, exist_ok=True)
         for files in year_groups(split):
             shards = [dict(np.load(f)) for f in files]
-            if any(variable not in d for d in shards):
+            # shards lacking the variable pass through UNCHANGED (skipping
+            # the whole year would silently shrink the target dataset);
+            # the year's rolling mean concatenates only the shards that
+            # carry the variable, in file order
+            with_var = [(f, d) for f, d in zip(files, shards)
+                        if variable in d]
+            for f, d in zip(files, shards):
+                if variable not in d:
+                    np.savez(os.path.join(out_dir, os.path.basename(f)), **d)
+            if not with_var:
                 continue
-            lengths = [d[variable].shape[0] for d in shards]
+            lengths = [d[variable].shape[0] for _, d in with_var]
             x = np.squeeze(
-                np.concatenate([d[variable] for d in shards], axis=0), axis=1)
+                np.concatenate([d[variable] for _, d in with_var], axis=0),
+                axis=1)
             masks, _, _ = generate_extreme_masks(x, time_horizon,
                                                  low=low, high=high)
             start = 0
-            for f, d, n in zip(files, shards, lengths):
+            for (f, d), n in zip(with_var, lengths):
                 d[mask_key] = masks[start : start + n, None]
                 start += n
                 np.savez(os.path.join(out_dir, os.path.basename(f)), **d)

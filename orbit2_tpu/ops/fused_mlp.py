@@ -263,24 +263,50 @@ def _dw_kernel(seed_ref, x_ref, w1_ref, b1_ref, w2_ref, do_ref,
         db2_ref[...] = db2_acc[...].astype(db2_ref.dtype)
 
 
-def _bwd_floors(bt, bf, rate):
-    """Smallest block edges the backward kernels may shrink to. With dropout
-    the regenerated mask bits only match the forward's if a shrunk edge is
-    still a multiple of the 256 mask unit — OR equal to the forward's edge
-    (a sub-256 forward edge IS its own unit, see _units). So a forward edge
-    below 256 pins the backward to that exact edge."""
-    if rate > 0.0:
-        return (_MASK_UNIT if bt >= _MASK_UNIT else bt,
-                _MASK_UNIT if bf >= _MASK_UNIT else bf)
-    return min(64, bt), min(128, bf)
+def _legal_shrinks(b, rate, lo):
+    """Descending legal backward edges for a forward block edge b. Every
+    candidate must DIVIDE b — the forward edge divides the global dim, so
+    this keeps the backward grid exact (a non-divisor edge would truncate
+    the grid and silently skip rows/columns of the weight gradient). With
+    dropout a candidate must additionally regenerate the forward's mask
+    decomposition: a multiple of the 256 mask unit, or b itself when b is
+    not one (a sub-unit edge IS its own unit, see _units) — in that case b
+    is the ONLY legal edge."""
+    if rate > 0.0 and b % _MASK_UNIT:
+        return [b]
+    out = [b]
+    c = b // 2
+    while c >= lo:
+        if b % c == 0 and (rate == 0.0 or c % _MASK_UNIT == 0):
+            out.append(c)
+        c //= 2
+    return out
 
 
-def _shrink(vmem_fn, bt_, bf_, floor_t, floor_f):
-    while vmem_fn(bt_, bf_) > _VMEM_BUDGET and bt_ > floor_t:
-        bt_ //= 2
-    while vmem_fn(bt_, bf_) > _VMEM_BUDGET and bf_ > floor_f:
-        bf_ //= 2
-    return bt_, bf_
+def _cap_edge(b, cap, rate):
+    """Largest legal edge <= cap, or b itself when no legal candidate is
+    that small (e.g. b=384 with dropout: 384 is its own mask unit, so the
+    dw kernel must run the full edge and rely on the `fits` check)."""
+    for c in _legal_shrinks(b, rate, lo=8):
+        if c <= cap:
+            return c
+    return b
+
+
+def _shrink(vmem_fn, bt0, bf0, rate, lo_t, lo_f):
+    """Pick (bt, bf) from the legal candidate grids: shrink the T edge
+    first (keeps the F contraction wide for the MXU), then the F edge with
+    T at its smallest. Returns the smallest legal pair when nothing fits —
+    the caller's `fits` check then declines the fused path."""
+    cand_t = _legal_shrinks(bt0, rate, lo_t)
+    cand_f = _legal_shrinks(bf0, rate, lo_f)
+    for t_c in cand_t:
+        if vmem_fn(t_c, bf0) <= _VMEM_BUDGET:
+            return t_c, bf0
+    for f_c in cand_f:
+        if vmem_fn(cand_t[-1], f_c) <= _VMEM_BUDGET:
+            return cand_t[-1], f_c
+    return cand_t[-1], cand_f[-1]
 
 
 def _dx_vmem_fn(d, d2, itemsize):
@@ -306,18 +332,18 @@ def _bwd_blocks(d, f, d2, itemsize, bt, bf, rate):
     mask-consistency floors a kernel exceeds the VMEM budget — with dropout
     the caller must then fall back (running anyway would need sub-floor
     blocks, i.e. silently wrong regenerated masks)."""
-    floor_t, floor_f = _bwd_floors(bt, bf, rate)
     dx_vmem = _dx_vmem_fn(d, d2, itemsize)
-    bt_dx, bf_dx = _shrink(dx_vmem, bt, bf, floor_t, floor_f)
+    bt_dx, bf_dx = _shrink(dx_vmem, bt, bf, rate, lo_t=64, lo_f=128)
     # the dw kernel runs smaller blocks: at 512x512 its VMEM working set
     # (4 streamed blocks + 4 fp32 accumulators) makes the TPU compiler crash
     # when the surrounding graph also carries LN-backward fusions — 256x256
     # compiles everywhere and the dW matmuls keep a big contraction dim
-    # (measured bisection: scripts/debug_fused_compile.py).
+    # (measured bisection: scripts/debug_fused_compile.py). The cap picks a
+    # LEGAL edge (divides the forward edge; mask-consistent), not min(b,256),
+    # which for b=384 would truncate the grid and drop gradient rows.
     dw_vmem = _dw_vmem_fn(d, d2, itemsize)
-    bt_dw, bf_dw = _shrink(dw_vmem, min(bt, 256), min(bf, 256),
-                           min(floor_t, min(bt, 256)),
-                           min(floor_f, min(bf, 256)))
+    bt_dw, bf_dw = _shrink(dw_vmem, _cap_edge(bt, 256, rate),
+                           _cap_edge(bf, 256, rate), rate, lo_t=64, lo_f=128)
     fits = (dx_vmem(bt_dx, bf_dx) <= _VMEM_BUDGET
             and dw_vmem(bt_dw, bf_dw) <= _VMEM_BUDGET)
     return bt_dx, bf_dx, bt_dw, bf_dw, fits

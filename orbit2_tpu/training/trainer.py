@@ -476,7 +476,11 @@ class Trainer:
             return
         from jax.experimental import multihost_utils
 
-        ckey = (id(dm), stage, max_batches)
+        # key on the module OBJECT (identity hash): holding it in the dict
+        # keeps it alive, so a freed module's address can never be reused by
+        # a new one and alias a stale count — id() alone could collide after
+        # GC, desynchronizing the collective allgather across processes
+        ckey = (dm, stage, max_batches)
         if not hasattr(self, "_eval_round_counts"):
             self._eval_round_counts = {}
         if ckey not in self._eval_round_counts:

@@ -126,9 +126,13 @@ if __name__ == "__main__":
     # in-kernel attention dropout + fused elementwise dropout + drop-path)
     # --mu-bf16: bf16 adam first moment, the shipped interm_1b default —
     # verifies the optimizer-state compression doesn't hurt convergence
-    # --scale 117m: the bench-shape model (embed 1024 x depth 8), 200 steps
-    scale = "117m" if "--scale" in sys.argv and \
-        sys.argv[sys.argv.index("--scale") + 1] == "117m" else "8m"
+    # --scale 117m: the bench-shape model (embed 1024 x depth 8), 800 steps
+    scale = "8m"
+    if "--scale" in sys.argv:
+        idx = sys.argv.index("--scale")
+        if idx + 1 >= len(sys.argv) or sys.argv[idx + 1] not in SCALES:
+            raise SystemExit(f"--scale needs one of {sorted(SCALES)}")
+        scale = sys.argv[idx + 1]
     main(drop=0.1 if "--dropout" in sys.argv else 0.0,
          mu_dtype="bfloat16" if "--mu-bf16" in sys.argv else None,
          scale=scale)

@@ -242,3 +242,47 @@ def test_dropout_bwd_shrink_stays_mask_consistent(monkeypatch):
     for name, a, b in zip(("dx", "dw1", "db1", "dw2", "db2"), g_fused, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-4, rtol=5e-4, err_msg=name)
+
+
+def test_bwd_dw_blocks_divide_nonpow2_edges():
+    """Regression (r3 review): the dw-kernel cap was min(bt, 256), which for
+    a 384-row forward edge gave a 256 block over a 384 grid — nt_dw = 1 and
+    rows 256-383 silently never reached dW/db. Every backward edge must
+    DIVIDE the forward edge; with dropout a 384 edge is its own mask unit,
+    so the dw kernel must keep the full edge (or decline via fits)."""
+    from orbit2_tpu.ops.fused_mlp import _bwd_blocks
+
+    d, f, d2 = 128, 512, 128
+    # rate 0: cap picks 192 (divides 384), never 256
+    bt_dx, bf_dx, bt_dw, bf_dw, fits = _bwd_blocks(
+        d, f, d2, 4, bt=384, bf=512, rate=0.0)
+    assert 384 % bt_dx == 0 and 512 % bf_dx == 0
+    assert 384 % bt_dw == 0 and 512 % bf_dw == 0
+    assert bt_dw <= 256 and fits
+    # dropout: 384 is its own mask unit -> the only legal T edge is 384
+    bt_dx, _, bt_dw, _, _ = _bwd_blocks(d, f, d2, 4, bt=384, bf=512, rate=0.3)
+    assert bt_dx == 384 and bt_dw == 384
+
+
+def test_grad_matches_xla_at_384_rows():
+    """End-to-end gradient correctness at the truncation shape: 384 rows,
+    auto-picked blocks (bt=384 > the old 256 dw cap), rate 0."""
+    tt, d, f, d2 = 384, 128, 512, 128
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(tt, d)) * 0.5, jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(d, f)) * d ** -0.5, jnp.float32)
+    b1 = jnp.asarray(rng.normal(size=(f,)) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(f, d2)) * f ** -0.5, jnp.float32)
+    b2 = jnp.asarray(rng.normal(size=(d2,)) * 0.1, jnp.float32)
+
+    def loss_fused(*args):
+        return jnp.sum(fused_mlp(*args, force=True) ** 2)
+
+    def loss_ref(*args):
+        return jnp.sum(_xla_mlp(*args) ** 2)
+
+    g_fused = jax.grad(loss_fused, argnums=tuple(range(5)))(x, w1, b1, w2, b2)
+    g_ref = jax.grad(loss_ref, argnums=tuple(range(5)))(x, w1, b1, w2, b2)
+    for gf, gr, name in zip(g_fused, g_ref, ["x", "w1", "b1", "w2", "b2"]):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)

@@ -142,3 +142,23 @@ def test_trainer_end_to_end_with_samplestore(synth_dataset, tmp_path,
     expected = (2 * ds["T"]) // 4
     assert [h["batches"] for h in hist] == [expected, expected]
     assert os.path.isdir(tmp_path / "ck" / "epoch_1")
+
+
+def test_num_batches_counts_store_membership(synth_dataset, monkeypatch):
+    """Under ORBIT2_USE_SAMPLESTORE the loader serves a FIXED unshuffled
+    file shard, not the streaming pipeline's per-epoch permutation —
+    num_batches must count that membership (r3 review finding: a clamp
+    computed from the shuffled peek can desynchronize multi-process
+    collectives when file lengths differ). Header path (before fill) and
+    store path (after) must agree with the actual loader length."""
+    ds = synth_dataset
+    from orbit2_tpu.data import IterDataModule
+
+    monkeypatch.setenv("ORBIT2_USE_SAMPLESTORE", "1")
+    dm = IterDataModule("downscaling", ds["low"], ds["high"], ds["in_vars"],
+                        ds["out_vars"], batch_size=4, buffer_size=4,
+                        drop_last=True)
+    dm.setup()
+    pre = dm.num_batches("train")       # header-only, store not filled yet
+    loader = dm.train_dataloader()      # fills the store
+    assert pre == len(loader) == dm.num_batches("train")

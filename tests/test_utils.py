@@ -142,6 +142,36 @@ def test_extreme_driver_shard_boundary_invariance(tmp_path):
     assert m3[horizon:].sum() == m1[horizon:].sum() > 0
 
 
+def test_extreme_driver_passes_through_shards_without_variable(tmp_path):
+    """A year whose shards have heterogeneous keys: shards carrying the
+    variable get masks, shards without it are written through UNCHANGED —
+    skipping the whole year would silently shrink the target dataset
+    (r3 review finding)."""
+    rng = np.random.default_rng(5)
+    t, h, w = 120, 4, 5
+    x = rng.normal(280, 5, size=(t, 1, h, w)).astype(np.float32)
+    other = rng.normal(0, 1, size=(40, 1, h, w)).astype(np.float32)
+
+    src, tgt = tmp_path / "src", tmp_path / "out"
+    for split in ("train", "val", "test"):
+        d = src / split
+        d.mkdir(parents=True)
+        np.savez(d / "2017_0.npz", **{"2m_temperature": x[:60]})
+        np.savez(d / "2017_1.npz", **{"geopotential": other})  # no temp var
+        np.savez(d / "2017_2.npz", **{"2m_temperature": x[60:]})
+
+    process_era5_extreme(str(src), str(tgt), time_horizon=24)
+
+    out = sorted(p.name for p in (tgt / "test").iterdir())
+    assert out == ["2017_0.npz", "2017_1.npz", "2017_2.npz"]  # none dropped
+    d1 = np.load(tgt / "test" / "2017_1.npz")
+    assert "2m_temperature_extreme_mask" not in d1
+    np.testing.assert_array_equal(d1["geopotential"], other)
+    for name, n in (("2017_0.npz", 60), ("2017_2.npz", 60)):
+        m = np.load(tgt / "test" / name)["2m_temperature_extreme_mask"]
+        assert m.shape == (n, 1, h, w)
+
+
 def test_group_files_by_year_ordering():
     files = ["/d/2018_1.npz", "/d/2017_10.npz", "/d/2017_2.npz",
              "/d/2018_0.npz", "/d/climatology.npz", "/d/custom.npz"]
