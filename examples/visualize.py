@@ -66,8 +66,11 @@ def main():
         logging.warning("no checkpoint found — visualizing untrained weights")
 
     in_vars, out_vars = dm.get_data_variables()
+    # conv presets (unet/resnet) carry BatchNorm running stats in aux
+    # collections — the restored checkpoint's if present, else init values
+    aux = state.get("aux", trainer.aux) if path else trainer.aux
     fwd = jax.jit(lambda x: model.apply(
-        {"params": trainer.params}, jnp.asarray(x), tuple(in_vars),
+        {"params": trainer.params, **aux}, jnp.asarray(x), tuple(in_vars),
         tuple(out_vars), deterministic=True))
 
     res = visualize_at_index(

@@ -220,6 +220,25 @@ def test_visualize_driver_resizes_checkpoint_pos_embed(
     assert n_used > 0 and n_resized >= 1 and n_dropped == 0
 
 
+def test_visualize_driver_resnet_batch_stats(driver_cfg, tmp_path,
+                                             monkeypatch):
+    """Conv presets carry BatchNorm running stats in aux collections; the
+    visualize driver's jitted forward must thread them (a params-only apply
+    crashes with a missing-collection error)."""
+    driver_cfg["model"]["preset"] = "resnet"
+    driver_cfg["parallelism"] = {"fsdp": 2}
+    cfg_path = tmp_path / "vis_resnet.yaml"
+    cfg_path.write_text(yaml.safe_dump(driver_cfg))
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(sys, "argv", [
+        "visualize.py", str(cfg_path), "--index", "0",
+        "--out-dir", str(tmp_path / "viz_rn")])
+    res = load_example("visualize").main()
+    assert res["preds"].shape == (3, 64, 128)
+    for m in res["metrics"].values():
+        assert np.isfinite(m["psnr"])
+
+
 def test_visualize_untiled_module_matches_direct_forward(synth_dataset):
     """Equality check behind the driver fix: with an untiled module and a
     geometry-agnostic forward, the stitched prediction is EXACTLY the
