@@ -54,6 +54,8 @@ def main():
         path = args.checkpoint or ck.latest_checkpoint(trainer.checkpoint_dir)
         state = ck.restore_checkpoint(path)
         trainer.params = state["params"]
+        if "aux" in state:  # conv presets: evaluate with the TRAINED
+            trainer.aux = state["aux"]  # BatchNorm stats, not fresh inits
         logging.info("loaded %s (epoch %s)", path, state.get("epoch"))
     else:
         logging.warning("no checkpoint — evaluating untrained weights")

@@ -51,7 +51,10 @@ def main():
                 raw, depth=cfg.model.depth,
                 decoder_depth=cfg.model.decoder_depth)
         else:
-            pre = ck.restore_checkpoint(args.pretrain)["params"]
+            pre_state = ck.restore_checkpoint(args.pretrain)
+            pre = pre_state["params"]
+            if "aux" in pre_state:  # start conv fine-tunes from the
+                trainer.aux = pre_state["aux"]  # pretrained BatchNorm stats
         in_shape, _ = dm.get_data_dims()
         merged, report = ck.load_pretrained_params(
             params, pre, patch_size=cfg.model.patch_size,

@@ -239,6 +239,28 @@ def test_visualize_driver_resnet_batch_stats(driver_cfg, tmp_path,
         assert np.isfinite(m["psnr"])
 
 
+def test_evaluate_driver_resnet_uses_trained_batch_stats(
+        driver_cfg, tmp_path, monkeypatch, capsys):
+    """A conv checkpoint carries trained BatchNorm stats; evaluate must
+    restore them (not re-init fresh) and produce finite metrics."""
+    import json
+
+    driver_cfg["model"]["preset"] = "resnet"
+    driver_cfg["parallelism"] = {"fsdp": 2}
+    cfg_path = tmp_path / "eval_rn.yaml"
+    cfg_path.write_text(yaml.safe_dump(driver_cfg))
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(sys, "argv", ["train.py", str(cfg_path)])
+    load_example("train").main()
+
+    monkeypatch.setattr(sys, "argv",
+                        ["evaluate.py", str(cfg_path), "--max-batches", "2"])
+    capsys.readouterr()
+    load_example("evaluate").main()
+    means = json.loads(capsys.readouterr().out)
+    assert means and all(np.isfinite(v) for v in means.values())
+
+
 def test_visualize_untiled_module_matches_direct_forward(synth_dataset):
     """Equality check behind the driver fix: with an untiled module and a
     geometry-agnostic forward, the stitched prediction is EXACTLY the
