@@ -22,7 +22,7 @@ def main():
                    choices=["resnet", "unet", "vit", "res_slimvit"])
     p.add_argument("--loss", default="mse",
                    choices=["mse", "perceptual", "quantile", "imagegradient",
-                            "bayesian_tv"])
+                            "masked_mse", "bayesian_tv"])
     p.add_argument("--max-epochs", type=int, default=None)
     args = p.parse_args()
 

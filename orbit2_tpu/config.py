@@ -40,6 +40,11 @@ class TrainerConfig:
     # fp32 = exact torch-AdamW parity.
     adam_mu_dtype: str = "float32"
     seed: int = 0
+    # data-order seed: file permutations + reservoir shuffle derive from
+    # THIS seed, so data order can vary across runs without touching the
+    # model-init seed (the reference reshuffles per epoch via torch's
+    # global RNG, which couples the two). None = follow `seed`.
+    data_seed: Optional[int] = None
     # training task: downscaling (reference intermediate_downscaling.py) or
     # forecasting/continuous-forecasting (reference load_forecasting_module,
     # loaders.py:225-236; DirectForecast/ContinuousForecast iterdataset

@@ -189,6 +189,33 @@ class IterDataModule:
             if k != "2m_temperature_extreme_mask"
         }
 
+    def get_out_mask(self):
+        """Validity mask for masked losses — the PRISM/DAYMET nodata
+        handling (reference mapmodule.py:80-81; PRISM writes -9999 outside
+        the conterminous US, prism processing NODATA). Prefers `mask.npy`
+        written by the PRISM pipeline at the out root; otherwise derives
+        valid = finite & != -9999 over every timestep of the first train
+        shard. Returns [H, W] float32 (1 = valid), or None when targets
+        carry no nodata."""
+        path = os.path.join(self.out_root_dir, "mask.npy")
+        if os.path.exists(path):
+            return np.load(path).astype(np.float32)
+        shards = [f for f in self.out_lister_train if "climatology" not in f]
+        if not shards:
+            return None
+        mask = None
+        with np.load(shards[0]) as npz:
+            for var in self.out_vars:
+                if var == "2m_temperature_extreme_mask" or var not in npz:
+                    continue
+                arr = npz[var]
+                valid = (np.isfinite(arr) & (arr != -9999.0)).reshape(
+                    -1, *arr.shape[-2:]).all(axis=0)
+                mask = valid if mask is None else (mask & valid)
+        if mask is None or mask.all():
+            return None
+        return mask.astype(np.float32)
+
     def get_climatology(self, split="val"):
         path = os.path.join(self.out_root_dir, split, "climatology.npz")
         clim_dict = np.load(path)

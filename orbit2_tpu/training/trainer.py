@@ -91,7 +91,8 @@ class Trainer:
             drop_last=True,  # keep train-step shapes static for XLA
             div=c.tiling.effective_div if div is None else div,
             overlap=c.tiling.effective_overlap if overlap is None else overlap,
-            seed=c.trainer.seed,
+            seed=(c.trainer.data_seed if c.trainer.data_seed is not None
+                  else c.trainer.seed),
             **kwargs,
         )
 
@@ -156,6 +157,34 @@ class Trainer:
         self.val_transforms = val_transforms
         self.test_losses = test_losses
         self.test_transforms = test_transforms
+        self._wire_out_mask(data_module)
+
+    def _wire_out_mask(self, data_module):
+        """Plumb the dataset validity mask into mask-aware losses — the
+        reference wires Mask(dm.get_out_mask()) through its module
+        (era5_prism_deep_learning.py:39-42,76-78); here any loss exposing
+        set_mask (masked_mse) receives it. Masked losses are full-grid:
+        TILES tiling would hand them grid-sized masks against tile-sized
+        targets, so the combination is rejected."""
+        losses = [self.train_loss] + list(self.val_losses or []) \
+            + list(self.test_losses or [])
+        maskable = [l for l in losses if hasattr(l, "set_mask")]
+        if not maskable:
+            return
+        getm = getattr(data_module, "get_out_mask", None)
+        mask = getm() if getm is not None else None
+        if mask is None:
+            log.warning("mask-aware loss requested but the data module "
+                        "derives no validity mask — running unmasked")
+            return
+        if self.cfg.tiling.effective_div > 1:
+            raise ValueError(
+                "masked losses need full-grid targets; disable "
+                "tiling.do_tiling for masked fine-tuning")
+        for l in maskable:
+            l.set_mask(mask)
+        log.info("wired validity mask (%.1f%% valid) into %d losses",
+                 100.0 * float(np.asarray(mask).mean()), len(maskable))
 
     def _phase_model(self, data_module, data_key: str):
         c = self.cfg
@@ -607,6 +636,17 @@ class Trainer:
         if self.params is None:
             self.params = self._init_params(phase_model, dm)
         else:
+            # pre-seeded trees (checkpoint restore / torch import) may carry
+            # the SAVE topology's placement — re-shard onto THIS trainer's
+            # mesh before jit, mirroring fit()'s resume path (reference
+            # resume semantics: intermediate_downscaling.py:659-672)
+            from orbit2_tpu.parallel.sharding import shard_params
+
+            self.params = shard_params(
+                jax.tree.map(jnp.asarray, self.params), self.mesh)
+            if getattr(self, "aux", None):
+                self.aux = shard_params(
+                    jax.tree.map(jnp.asarray, self.aux), self.mesh)
             self._ensure_aux(phase_model, dm)  # pre-seeded conv params
         eval_step = make_eval_step(phase_model, in_vars, out_vars,
                                    mesh=self.mesh,

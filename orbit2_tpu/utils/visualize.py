@@ -50,6 +50,21 @@ def stitched_inference(
     return out
 
 
+def dataset_flips(data_module) -> bool:
+    """Dataset-derived display orientation. The reference flips
+    ERA5/PRISM/DAYMET fields north-up inside its stitch loop, gated on the
+    src NAME (reference visualize.py:263,285,303); the data-derived
+    equivalent of that gate is the storage order itself — those layouts
+    store latitude ascending (south row first), so flip exactly when
+    lat[0] < lat[-1]."""
+    try:
+        lat, _ = data_module.get_lat_lon()
+    except Exception:
+        return False
+    lat = np.asarray(lat)
+    return lat.size >= 2 and float(lat[0]) < float(lat[-1])
+
+
 def _nth_test_sample(data_module, index: int):
     """Locate sample `index` in the (untiled) test pipeline
     (reference visualize.py:113-123)."""
@@ -71,17 +86,22 @@ def visualize_at_index(
     overlap: int = 0,
     mag: int = 4,
     out_dir: Optional[str] = None,
-    flip: bool = False,
+    flip: Optional[bool] = None,
     variable: Optional[str] = None,
 ):
     """Stitched prediction for one test sample + per-variable PSNR/SSIM.
 
     Returns dict with preds/groundtruth/inputs (denormalized) and metrics.
     Saves PNG + npy per output variable when out_dir is given
-    (reference visualize.py:318-355)."""
+    (reference visualize.py:318-355). flip=None (default) derives the
+    north-up orientation from the data module's latitude order
+    (`dataset_flips`), matching the reference's in-loop src-gated flips;
+    pass an explicit bool to override."""
     from orbit2_tpu.transforms.transforms import Denormalize
     import jax.numpy as jnp
 
+    if flip is None:
+        flip = dataset_flips(data_module)
     x, y, in_vars, out_vars = _nth_test_sample(data_module, index)
     preds = stitched_inference(forward_fn, x, div, overlap, mag)
 

@@ -184,6 +184,64 @@ def test_finetune_driver_imports_pretrain(driver_cfg, tmp_path, monkeypatch,
     assert imports and imports[0].args[0] > 0  # used > 0 keys
 
 
+def _write_masked_high_res(base, out_vars, h, w, t=8, border=4):
+    """PRISM-like high-res target set: -9999 nodata outside an interior
+    window (the conterminous-US analogue), reference prism NODATA."""
+    rng = np.random.default_rng(7)
+    for split in ("train", "val", "test"):
+        d = base / split
+        d.mkdir(parents=True, exist_ok=True)
+        for i in range(2):
+            arrays = {}
+            for v in out_vars:
+                a = rng.normal(280, 10, size=(t, 1, h, w)).astype(np.float32)
+                a[..., :border, :] = -9999.0
+                a[..., -border:, :] = -9999.0
+                a[..., :, :border] = -9999.0
+                a[..., :, -border:] = -9999.0
+                arrays[v] = a
+            np.savez(d / f"shard_{i}.npz", **arrays)
+        clim = {v: rng.normal(280, 1, size=(1, h, w)).astype(np.float32)
+                for v in out_vars}
+        np.savez(d / "climatology.npz", **clim)
+    np.save(base / "lat.npy", np.linspace(24, 50, h).astype(np.float32))
+    np.save(base / "lon.npy", np.linspace(235, 294, w).astype(np.float32))
+    np.savez(base / "normalize_mean.npz",
+             **{v: np.array([280.0], dtype=np.float32) for v in out_vars})
+    np.savez(base / "normalize_std.npz",
+             **{v: np.array([10.0], dtype=np.float32) for v in out_vars})
+
+
+def test_finetune_driver_masked_mse_end_to_end(driver_cfg, tmp_path,
+                                               monkeypatch, caplog):
+    """Masked fine-tune (reference era5_daymet_downscaling.py:204-216 offers
+    masked_mse; its experiments wire Mask(dm.get_out_mask())): targets carry
+    a -9999 PRISM-style border, the driver derives the validity mask, wires
+    it into the loss, and trains end-to-end."""
+    import logging
+
+    high = tmp_path / "high_masked"
+    _write_masked_high_res(high, driver_cfg["data"]["dict_out_variables"]["S"],
+                           64, 128)
+    driver_cfg["data"]["high_res_dir"] = {"S": str(high)}
+    cfg_path = tmp_path / "ft_masked.yaml"
+    cfg_path.write_text(yaml.safe_dump(driver_cfg))
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(sys, "argv", [
+        "finetune.py", str(cfg_path), "--loss", "masked_mse",
+        "--max-epochs", "1"])
+    with caplog.at_level(logging.INFO):
+        load_example("finetune").main()
+
+    assert os.path.isdir(tmp_path / "checkpoints" / "climate" / "epoch_0")
+    wired = [r for r in caplog.records
+             if "wired validity mask" in r.getMessage()]
+    assert wired
+    valid_pct = wired[0].args[0]
+    expected = 100.0 * (64 - 8) * (128 - 8) / (64 * 128)
+    assert valid_pct == pytest.approx(expected, abs=0.1)
+
+
 def test_visualize_driver_resizes_checkpoint_pos_embed(
         tiled_inference_cfg, tmp_path, monkeypatch, caplog):
     """The reference trains at one tile geometry and infers at another
@@ -261,6 +319,33 @@ def test_evaluate_driver_resnet_uses_trained_batch_stats(
     assert means and all(np.isfinite(v) for v in means.values())
 
 
+def test_evaluate_restores_on_different_mesh_shape(
+        driver_cfg, tmp_path, monkeypatch, capsys):
+    """Save on a 4-device mesh, evaluate on a 2-device mesh: test() must
+    re-shard the restored params/aux onto ITS mesh (reference resume
+    semantics, intermediate_downscaling.py:659-672) instead of jitting
+    over mismatched device sets — the round-3 shipped bug."""
+    import json
+
+    driver_cfg["model"]["preset"] = "resnet"
+    driver_cfg["parallelism"] = {"fsdp": 4}
+    cfg_a = tmp_path / "save4.yaml"
+    cfg_a.write_text(yaml.safe_dump(driver_cfg))
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(sys, "argv", ["train.py", str(cfg_a)])
+    load_example("train").main()
+
+    driver_cfg["parallelism"] = {"fsdp": 2}
+    cfg_b = tmp_path / "load2.yaml"
+    cfg_b.write_text(yaml.safe_dump(driver_cfg))
+    monkeypatch.setattr(sys, "argv",
+                        ["evaluate.py", str(cfg_b), "--max-batches", "2"])
+    capsys.readouterr()
+    load_example("evaluate").main()
+    means = json.loads(capsys.readouterr().out)
+    assert means and all(np.isfinite(v) for v in means.values())
+
+
 def test_visualize_untiled_module_matches_direct_forward(synth_dataset):
     """Equality check behind the driver fix: with an untiled module and a
     geometry-agnostic forward, the stitched prediction is EXACTLY the
@@ -289,3 +374,68 @@ def test_visualize_untiled_module_matches_direct_forward(synth_dataset):
     stitched = stitched_inference(fake_forward, res["inputs"], 2, 2, 4)
     np.testing.assert_allclose(stitched, full, rtol=1e-6)
     assert res["preds"].shape == full.shape
+
+
+def test_visualize_dataset_derived_flip(synth_dataset):
+    """Reference visualize flips ERA5/PRISM/DAYMET north-up, gated on the
+    src name (visualize.py:263,285,303). Here the gate is dataset-derived:
+    ascending-latitude storage (the synth set: linspace(-88, 88)) flips by
+    default; an explicit flip=False override returns storage order; both
+    keep pred/gt aligned."""
+    from orbit2_tpu.data.itermodule import IterDataModule
+    from orbit2_tpu.utils.visualize import dataset_flips, visualize_at_index
+
+    ds = synth_dataset
+    dm = IterDataModule(
+        "downscaling", ds["low"], ds["high"], list(ds["in_vars"]),
+        out_vars=list(ds["out_vars"]), batch_size=1, buffer_size=4,
+        num_workers=0, div=1, overlap=0)
+    dm.setup()
+    assert dataset_flips(dm)  # lat ascending -> ERA5-style flip
+
+    def fake_forward(x):
+        return np.repeat(np.repeat(np.asarray(x), 4, axis=2), 4, axis=3)[:, :3]
+
+    auto = visualize_at_index(fake_forward, dm, index=0, div=1, overlap=0,
+                              mag=4)
+    raw = visualize_at_index(fake_forward, dm, index=0, div=1, overlap=0,
+                             mag=4, flip=False)
+    np.testing.assert_allclose(auto["preds"], raw["preds"][:, ::-1])
+    np.testing.assert_allclose(auto["groundtruth"],
+                               raw["groundtruth"][:, ::-1])
+
+    class DescendingLat:
+        """A module whose storage is already north-up (descending lat)."""
+
+        def get_lat_lon(self):
+            return np.linspace(88, -88, 16), np.linspace(0, 358, 32)
+
+    assert not dataset_flips(DescendingLat())
+
+
+def test_data_seed_decouples_data_order_from_model_seed(driver_cfg, tmp_path):
+    """trainer.data_seed varies data order without touching model init
+    (docs/multihost_data.md): the data module's shuffle seed follows
+    data_seed when set, else trainer.seed."""
+    from orbit2_tpu.config import load_config
+    from orbit2_tpu.training.trainer import Trainer
+
+    cfg_path = tmp_path / "ds.yaml"
+    cfg_path.write_text(yaml.safe_dump(driver_cfg))
+    t = Trainer(load_config(str(cfg_path)))
+    assert t._make_data_module("S").seed == t.cfg.trainer.seed
+
+    driver_cfg["trainer"]["data_seed"] = 1234
+    cfg_path2 = tmp_path / "ds2.yaml"
+    cfg_path2.write_text(yaml.safe_dump(driver_cfg))
+    t2 = Trainer(load_config(str(cfg_path2)))
+    dm2 = t2._make_data_module("S")
+    assert dm2.seed == 1234
+    # the shuffled train stream actually differs between the two seeds
+    dm1 = t._make_data_module("S")
+    dm1.setup()
+    dm2.setup()
+    b1 = np.asarray(next(iter(dm1.train_dataloader()))[0])
+    b2 = np.asarray(next(iter(dm2.train_dataloader()))[0])
+    assert b1.shape == b2.shape
+    assert np.abs(b1 - b2).max() > 0
