@@ -36,9 +36,13 @@ class DropPath(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        if self.rate == 0.0 or deterministic:
+        # Stochastic depth draws from its OWN rng stream: a caller that
+        # supplies only {"dropout": key} (MC-dropout ensembles) gets inert
+        # DropPath, matching the reference's enable_dropout which flips ONLY
+        # nn.Dropout modules to train mode (utils/mc_dropout.py:4-7).
+        if self.rate == 0.0 or deterministic or not self.has_rng("drop_path"):
             return x
-        rng = self.make_rng("dropout")
+        rng = self.make_rng("drop_path")
         keep = 1.0 - self.rate
         shape = (x.shape[0],) + (1,) * (x.ndim - 1)
         mask = jax.random.bernoulli(rng, keep, shape)

@@ -85,16 +85,20 @@ def make_train_step(
     aux_collections = tuple(aux_collections)
 
     def loss_fn(p, a, xb, yb, r):
+        # drop_path is a distinct stream so inference paths that want ONLY
+        # Dropout active (MC-dropout, reference mc_dropout.py:4-7) can omit
+        # it; training supplies both
+        rngs = dict(zip(("dropout", "drop_path"), jax.random.split(r)))
         if aux_collections:
             yhat, new_a = model.apply(
                 {"params": p, **a}, xb, in_variables, out_variables,
-                deterministic=False, rngs={"dropout": r},
+                deterministic=False, rngs=rngs,
                 mutable=list(aux_collections),
             )
         else:
             yhat = model.apply(
                 {"params": p}, xb, in_variables, out_variables,
-                deterministic=False, rngs={"dropout": r},
+                deterministic=False, rngs=rngs,
             )
             new_a = a
         yhat = yhat.astype(jnp.float32)

@@ -1,8 +1,12 @@
 """MC-Dropout ensemble inference (reference utils/mc_dropout.py:4-19).
 
-The reference flips torch Dropout modules to train mode during eval
-(`enable_dropout`); in JAX the same thing is simply applying the model with
-`deterministic=False` under n different PRNG keys — no module mutation.
+The reference flips ONLY torch Dropout modules to train mode during eval
+(`enable_dropout`, reference utils/mc_dropout.py:4-7) — DropPath (stochastic
+depth) stays in eval mode. Here that selectivity falls out of rng streams:
+we apply with `deterministic=False` but supply only the "dropout" stream;
+DropPath draws from its own "drop_path" stream and is inert without it
+(models/components/blocks.py DropPath), so the UQ ensemble samples the same
+distribution as the reference's.
 """
 
 from __future__ import annotations

@@ -205,3 +205,69 @@ def test_stitched_inference_identity_upsample():
     full = fake_forward(x[None])[0]
     stitched = stitched_inference(fake_forward, x, div=2, overlap=2, mag=2)
     np.testing.assert_allclose(stitched, full)
+
+
+# ---------------------------------------------------------------- MC-dropout
+
+_MC_VARS = (
+    "land_sea_mask", "orography", "lattitude", "landcover",
+    "total_precipitation_24hr", "2m_temperature_min", "2m_temperature_max",
+)
+_MC_OUT = _MC_VARS[4:]
+
+
+def _mc_model(drop_rate, drop_path):
+    from orbit2_tpu.models import ResSlimViT
+
+    # depth=2 so the linspace drop-path schedule has a non-zero tail rate
+    return ResSlimViT(default_vars=_MC_VARS, img_size=(8, 16), in_channels=7,
+                      out_channels=3, superres_mag=2, patch_size=2,
+                      embed_dim=32, depth=2, decoder_depth=1, num_heads=2,
+                      learn_pos_emb=True, drop_rate=drop_rate,
+                      drop_path=drop_path)
+
+
+def test_mc_dropout_droppath_inert_dropout_varies():
+    """Reference enable_dropout flips ONLY Dropout to train mode
+    (mc_dropout.py:4-7); stochastic depth must stay off during ensemble
+    inference. With drop_path=0.9 and drop_rate=0 the members are identical;
+    with drop_rate=0.5 they differ."""
+    from orbit2_tpu.utils.mc_dropout import get_monte_carlo_predictions
+
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 7, 8, 16)),
+                    dtype=jnp.float32)
+
+    m_dp = _mc_model(drop_rate=0.0, drop_path=0.9)
+    params = m_dp.init({"params": jax.random.PRNGKey(0)}, x, _MC_VARS,
+                       _MC_OUT)["params"]
+    ens = np.asarray(get_monte_carlo_predictions(
+        m_dp, params, x, _MC_VARS, _MC_OUT, n_samples=4))
+    np.testing.assert_allclose(ens[0], ens[1])
+    np.testing.assert_allclose(ens[0], ens[3])
+
+    m_do = _mc_model(drop_rate=0.5, drop_path=0.0)
+    params2 = m_do.init({"params": jax.random.PRNGKey(0)}, x, _MC_VARS,
+                        _MC_OUT)["params"]
+    ens2 = np.asarray(get_monte_carlo_predictions(
+        m_do, params2, x, _MC_VARS, _MC_OUT, n_samples=4))
+    assert np.abs(ens2[0] - ens2[1]).max() > 1e-6
+
+
+def test_training_droppath_still_active():
+    """The train step supplies the drop_path rng stream, so stochastic depth
+    remains live in training even though MC-inference omits it."""
+    m = _mc_model(drop_rate=0.0, drop_path=0.9)
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(2, 7, 8, 16)),
+                    dtype=jnp.float32)
+    params = m.init({"params": jax.random.PRNGKey(0)}, x, _MC_VARS,
+                    _MC_OUT)["params"]
+
+    def fwd(key):
+        return m.apply({"params": params}, x, _MC_VARS, _MC_OUT,
+                       deterministic=False,
+                       rngs={"dropout": key,
+                             "drop_path": jax.random.fold_in(key, 1)})
+
+    a = np.asarray(fwd(jax.random.PRNGKey(2)))
+    b = np.asarray(fwd(jax.random.PRNGKey(3)))
+    assert np.abs(a - b).max() > 1e-6
