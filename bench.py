@@ -73,7 +73,7 @@ def _backend_with_retry(attempts: int = 30, delay: float = 60.0) -> str:
 
 
 def bench_scale(*, embed, depth, heads, batch, img, remat, dtype, iters,
-                decoder_depth=2, mu_dtype=None):
+                decoder_depth=2, mu_dtype=None, gelu_approx="exact"):
     """One measured config; returns (dt_seconds, n_params, loss)."""
     from orbit2_tpu.models import ResSlimViT
     from orbit2_tpu.registry import METRICS_REGISTRY
@@ -86,7 +86,7 @@ def bench_scale(*, embed, depth, heads, batch, img, remat, dtype, iters,
         superres_mag=4, patch_size=2, embed_dim=embed, depth=depth,
         decoder_depth=decoder_depth, num_heads=heads, learn_pos_emb=True,
         spatial_resolution=111.0, attention_impl="auto", remat=remat,
-        dtype=dtype, drop_rate=0.1, drop_path=0.1,
+        dtype=dtype, drop_rate=0.1, drop_path=0.1, gelu_approx=gelu_approx,
     )
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(batch, 7) + img), dtype=jnp.float32)
@@ -188,6 +188,18 @@ def main():
             "measured_1b_params_m": round(n1b / 1e6, 2),
             "measured_1b_loss": float(loss1b),
         })
+        # opt-in tanh-GELU (configs gelu_approx: tanh): measured -4.5% trunk
+        # step at 117M (scripts/bench_r4_fusion.py); report the full-model
+        # delta alongside the erf-exact headline
+        dt_t, _, _ = bench_scale(dtype=dtype, mu_dtype="bfloat16",
+                                 gelu_approx="tanh", **cfg117)
+        result.update({
+            "gelu_tanh_samples_per_sec": round(batch / dt_t, 4),
+            "gelu_tanh_mfu": round(6.0 * n_params * tokens * batch
+                                   / dt_t / peak, 4),
+            "gelu_tanh_step_seconds": round(dt_t, 5),
+        })
+
         # The north star (BASELINE.json) is "interm_1b ... at >45% MFU" —
         # vs_baseline tracks the 1B measurement, the north-star config.
         # (117M analytic-6NP MFU is attention-tax-bound at d=64: the

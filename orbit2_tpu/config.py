@@ -154,12 +154,18 @@ class ModelConfig:
     drop_path: float = 0.1
     drop_rate: float = 0.1
     attention_impl: str = "auto"  # auto | pallas | xla | naive
+    # GELU form in the trunk MLPs: "exact" (erf — torch-reference parity
+    # numerics, default) or "tanh" (approximation; measured -4.5% trunk
+    # step time at 117M, scripts/bench_r4_fusion.py)
+    gelu_approx: str = "exact"
 
     def validate(self):
         if self.embed_dim % self.num_heads != 0:
             raise ConfigError("embed_dim must be divisible by num_heads")
         if self.attention_impl not in ("auto", "pallas", "xla", "naive"):
             raise ConfigError(f"unknown attention_impl {self.attention_impl}")
+        if self.gelu_approx not in ("exact", "tanh"):
+            raise ConfigError(f"unknown gelu_approx {self.gelu_approx}")
 
 
 @dataclass

@@ -102,6 +102,10 @@ class Mlp(nn.Module):
     out_features: Optional[int] = None
     drop: float = 0.0
     use_bias: bool = True
+    # tanh-approx GELU: measured -4.5% trunk step time at 117M
+    # (scripts/bench_r4_fusion.py, docs/performance.md) — opt-in because the
+    # default erf form is the torch-reference-parity numerics
+    gelu_tanh: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -115,7 +119,7 @@ class Mlp(nn.Module):
         k2, b2 = _DenseParams(self.hidden_features, out_features,
                               self.use_bias, self.param_dtype, name="fc2")()
         xd = x.astype(self.dtype)
-        if deterministic:
+        if deterministic and not self.gelu_tanh:  # the kernel is erf-exact
             fused = fused_mlp(
                 xd, k1.astype(self.dtype),
                 None if b1 is None else b1.astype(self.dtype),
@@ -127,7 +131,7 @@ class Mlp(nn.Module):
         h = xd @ k1.astype(self.dtype)
         if b1 is not None:
             h = h + b1.astype(self.dtype)
-        h = nn.gelu(h, approximate=False)
+        h = nn.gelu(h, approximate=self.gelu_tanh)
         h = fused_drop(h, self.drop, deterministic,
                        lambda: self.make_rng("dropout"))
         out = h @ k2.astype(self.dtype)
@@ -281,6 +285,7 @@ class Block(nn.Module):
     init_values: Optional[float] = None
     drop_path: float = 0.0
     attention_impl: str = "xla"
+    gelu_tanh: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -300,7 +305,8 @@ class Block(nn.Module):
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype, name="norm2")(x)
         y = Mlp(
             hidden_features=int(self.dim * self.mlp_ratio), drop=self.proj_drop,
-            use_bias=self.proj_bias, dtype=self.dtype, param_dtype=self.param_dtype,
+            use_bias=self.proj_bias, gelu_tanh=self.gelu_tanh,
+            dtype=self.dtype, param_dtype=self.param_dtype,
             name="mlp",
         )(y, deterministic)
         if self.init_values:

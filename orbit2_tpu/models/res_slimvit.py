@@ -76,6 +76,9 @@ class ResSlimViT(nn.Module):
     mlp_ratio: float = 4.0
     spatial_resolution: float = 0.0
     attention_impl: str = "xla"
+    # "exact" (erf GELU — torch-reference numerics) or "tanh" (approx GELU,
+    # measured -4.5% trunk step time at 117M, scripts/bench_r4_fusion.py)
+    gelu_approx: str = "exact"
     remat: bool = False
     # 'full' recomputes everything in the backward (reference
     # apply_activation_checkpointing semantics); 'dots' saves matmul outputs
@@ -283,6 +286,7 @@ class ResSlimViT(nn.Module):
                 dim=D, num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
                 qkv_bias=True, proj_drop=self.drop_rate, attn_drop=self.drop_rate,
                 drop_path=float(dpr[i]), attention_impl=self.attention_impl,
+                gelu_tanh=self.gelu_approx == "tanh",
                 dtype=self.dtype, param_dtype=self.param_dtype, name=f"blocks_{i}",
             )
             tokens = self._seq_constraint(blk(tokens, deterministic))

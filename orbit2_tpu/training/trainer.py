@@ -142,6 +142,7 @@ class Trainer:
             drop_path=c.model.drop_path,
             drop_rate=c.model.drop_rate,
             attention_impl=c.model.attention_impl,
+            gelu_approx=c.model.gelu_approx,
             data_type=c.trainer.data_type,
             remat=c.trainer.remat,
             remat_policy=c.trainer.remat_policy,

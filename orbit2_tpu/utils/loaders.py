@@ -202,6 +202,7 @@ def load_architecture(
     drop_path=0.1,
     drop_rate=0.1,
     attention_impl="auto",
+    gelu_approx="exact",
     data_type="float32",
     remat=False,
     remat_policy="full",
@@ -303,6 +304,7 @@ def load_architecture(
                 drop_path=drop_path,
                 drop_rate=drop_rate,
                 attention_impl=attention_impl,
+                gelu_approx=gelu_approx,
                 remat=remat,
                 remat_policy=remat_policy,
                 dtype=dtype,
