@@ -24,6 +24,7 @@ from orbit2_tpu.data.reader import (
     DirectForecast,
     Downscale,
     IndividualDataIter,
+    InterleavedDataIter,
     NpyReader,
     ShuffleIterableDataset,
     tile_shapes,
@@ -228,28 +229,46 @@ class IterDataModule:
     # ---- pipeline construction --------------------------------------------
 
     def _pipeline(self, inp_files, out_files, shuffle: bool, seed_offset: int):
-        rng = random.Random(self.seed + seed_offset)
-        reader = NpyReader(
-            inp_file_list=inp_files,
-            out_file_list=out_files,
-            variables=self.in_vars,
-            out_variables=self.out_vars,
-            data_par_size=self.data_par_size,
-            data_par_rank=self.data_par_rank,
-            num_workers=1,
-            worker_id=0,
-            shuffle=shuffle,
-            div=self.div,
-            overlap=self.overlap,
-            rng=rng,
-        )
-        it = IndividualDataIter(
-            self.dataset_caller(reader, **self.dataset_arg),
-            transforms=self.transforms,
-            output_transforms=self.output_transforms,
-            subsample=self.subsample,
-        )
-        return it, rng
+        """One host's sample pipeline.
+
+        Shuffled (train) pipelines honor `num_workers` the way the
+        reference's torch DataLoader does: K worker streams over disjoint
+        (rank, worker)-sharded file subsets (reference iterdataset.py:52-88),
+        interleaved sample-by-sample. Each sub-reader gets its OWN rng
+        initialized from the same seed, so all workers (and all ranks) see
+        the identical epoch file permutation and the K x data_par_size shard
+        slices stay disjoint; every rng advances exactly once per epoch.
+        Unshuffled (val/test) pipelines stay single-stream so evaluation
+        sample order is deterministic and index-addressable (visualize).
+        """
+        workers = max(1, self.num_workers) if shuffle else 1
+        children = []
+        first_rng = None
+        for worker_id in range(workers):
+            rng = random.Random(self.seed + seed_offset)
+            first_rng = first_rng or rng
+            reader = NpyReader(
+                inp_file_list=inp_files,
+                out_file_list=out_files,
+                variables=self.in_vars,
+                out_variables=self.out_vars,
+                data_par_size=self.data_par_size,
+                data_par_rank=self.data_par_rank,
+                num_workers=workers,
+                worker_id=worker_id,
+                shuffle=shuffle,
+                div=self.div,
+                overlap=self.overlap,
+                rng=rng,
+            )
+            children.append(IndividualDataIter(
+                self.dataset_caller(reader, **self.dataset_arg),
+                transforms=self.transforms,
+                output_transforms=self.output_transforms,
+                subsample=self.subsample,
+            ))
+        it = children[0] if workers == 1 else InterleavedDataIter(children)
+        return it, first_rng
 
     def setup(self, stage: Optional[str] = None):
         if stage != "test":
