@@ -24,6 +24,10 @@ def main():
                    help="reference state_dict exported as npz of numpy arrays")
     p.add_argument("--max-batches", type=int, default=None)
     p.add_argument("--data-key", default=None)
+    p.add_argument("--quant", default="none", choices=["none", "w8a8"],
+                   help="w8a8: serve the trunk on the int8 MXU path "
+                        "(1.9x vs bf16 at 1B shapes, ~1%% rel RMSE — "
+                        "docs/performance.md)")
     args = p.parse_args()
 
     from orbit2_tpu.config import load_config
@@ -60,7 +64,8 @@ def main():
     else:
         logging.warning("no checkpoint — evaluating untrained weights")
 
-    means = trainer.test(data_key=data_key, max_batches=args.max_batches)
+    means = trainer.test(data_key=data_key, max_batches=args.max_batches,
+                         quant=args.quant)
     print(json.dumps({k: round(float(v), 6) for k, v in means.items()},
                      indent=2))
 

@@ -84,19 +84,48 @@ class _DenseParams(nn.Module):
         return k, b
 
 
+class QDense(nn.Module):
+    """w8a8 serving replacement for an nn.Dense.
+
+    Declares {kernel_q int8, kernel_scale f32, bias} at the SAME module path
+    as the Dense it replaces (same `name=`), so
+    orbit2_tpu/utils/quantize.py::quantize_params maps a trained fp
+    checkpoint onto it leaf-for-leaf. Serving-only: no gradient exists
+    through the round() in the activation quantizer.
+    """
+
+    in_features: int
+    features: int
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from orbit2_tpu.ops.quant import w8a8_matmul
+
+        wq = self.param("kernel_q", nn.initializers.zeros,
+                        (self.in_features, self.features), jnp.int8)
+        ws = self.param("kernel_scale", nn.initializers.ones,
+                        (self.features,), jnp.float32)
+        b = (self.param("bias", nn.initializers.zeros_init(),
+                        (self.features,), jnp.float32)
+             if self.use_bias else None)
+        return w8a8_matmul(x.astype(self.dtype), wq, ws, b)
+
+
 class Mlp(nn.Module):
     """fc1 -> GELU -> drop -> fc2 -> drop (reference mlp.py:22-73).
 
-    DETERMINISTIC forwards (eval/inference) on a single TPU device run the
-    whole chain as ONE pallas kernel (ops/fused_mlp.py): the [T, hidden]
-    activation never touches HBM — measured 60.4 -> 55.8 ms on the full
-    117M forward. TRAINING keeps the XLA chain: the same kernel beats XLA
-    by ~1.8 ms/layer in isolation but loses ~17 ms in the full train step,
-    because the custom-call boundary blocks XLA's LN/residual/dropout
-    fusion and scheduling overlap (docs/performance.md, fused-MLP section).
-    Off-TPU / under a mesh the XLA chain is numerically the same
-    computation (the kernel evaluates GELU in fp32; XLA's bf16 path
-    differs only in rounding)."""
+    Always the plain XLA chain on the model path. The pallas fused-MLP
+    kernel (ops/fused_mlp.py) beats XLA by ~1.8 ms/layer in ISOLATION but
+    loses at model level in every measured configuration — training
+    (~17 ms/step at 117M) AND deterministic forwards (117M fwd 146.8 ms
+    with vs 58.7 ms without; 1B 167.7 vs 87–121 — serialized-iteration
+    methodology, scripts/bench_fusedmlp_gate.py). The round-3 "fused wins
+    eval by 7.6%" gate was an unchained-timing artifact; the custom-call
+    boundary blocks XLA's cross-layer fusion/scheduling, which outweighs
+    keeping the hidden stripe in VMEM. `use_fused=True` re-enables it for
+    experiments (single TPU device, deterministic, erf GELU only)."""
 
     hidden_features: int
     out_features: Optional[int] = None
@@ -106,21 +135,34 @@ class Mlp(nn.Module):
     # (scripts/bench_r4_fusion.py, docs/performance.md) — opt-in because the
     # default erf form is the torch-reference-parity numerics
     gelu_tanh: bool = False
+    # "w8a8": int8 serving path (ops/quant.py) — deterministic only
+    quant: str = "none"
+    # opt-in pallas fused-MLP kernel — measured LOSING at model level
+    # everywhere (see class docstring); kept for experiments
+    use_fused: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        from orbit2_tpu.ops.fused_mlp import fused_mlp
-
         out_features = self.out_features or x.shape[-1]
+        if self.quant == "w8a8":
+            assert deterministic, "w8a8 quantization is serving-only"
+            xd = x.astype(self.dtype)
+            h = QDense(x.shape[-1], self.hidden_features, self.use_bias,
+                       self.dtype, name="fc1")(xd)
+            h = nn.gelu(h, approximate=self.gelu_tanh)
+            return QDense(self.hidden_features, out_features, self.use_bias,
+                          self.dtype, name="fc2")(h)
         k1, b1 = _DenseParams(x.shape[-1], self.hidden_features,
                               self.use_bias, self.param_dtype, name="fc1")()
         k2, b2 = _DenseParams(self.hidden_features, out_features,
                               self.use_bias, self.param_dtype, name="fc2")()
         xd = x.astype(self.dtype)
-        if deterministic and not self.gelu_tanh:  # the kernel is erf-exact
-            fused = fused_mlp(
+        if self.use_fused and deterministic and not self.gelu_tanh:
+            from orbit2_tpu.ops.fused_mlp import fused_mlp
+
+            fused = fused_mlp(  # erf-exact kernel; declines off-TPU/meshed
                 xd, k1.astype(self.dtype),
                 None if b1 is None else b1.astype(self.dtype),
                 k2.astype(self.dtype),
@@ -153,6 +195,9 @@ class Attention(nn.Module):
     attn_drop: float = 0.0
     proj_drop: float = 0.0
     attention_impl: str = "xla"
+    # "w8a8": int8 qkv/proj for serving (ops/quant.py); attention itself
+    # (softmax(qk^T)v) stays bf16 — matching the measured probe
+    quant: str = "none"
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -160,10 +205,16 @@ class Attention(nn.Module):
     def __call__(self, x, deterministic: bool = True):
         B, N, C = x.shape
         head_dim = self.dim // self.num_heads
-        qkv = nn.Dense(
-            self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype,
-            param_dtype=self.param_dtype, kernel_init=trunc_normal_init, name="qkv",
-        )(x)
+        if self.quant == "w8a8":
+            assert deterministic, "w8a8 quantization is serving-only"
+            qkv = QDense(C, self.dim * 3, self.qkv_bias, self.dtype,
+                         name="qkv")(x)
+        else:
+            qkv = nn.Dense(
+                self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype,
+                param_dtype=self.param_dtype, kernel_init=trunc_normal_init,
+                name="qkv",
+            )(x)
         qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         if self.qk_norm:
@@ -176,10 +227,15 @@ class Attention(nn.Module):
             q, k, v, impl=self.attention_impl, dropout_rate=drop_rate, dropout_rng=rng
         )
         x = x.reshape(B, N, C)
-        x = nn.Dense(
-            self.dim, use_bias=self.proj_bias, dtype=self.dtype,
-            param_dtype=self.param_dtype, kernel_init=trunc_normal_init, name="proj",
-        )(x)
+        if self.quant == "w8a8":
+            x = QDense(C, self.dim, self.proj_bias, self.dtype,
+                       name="proj")(x)
+        else:
+            x = nn.Dense(
+                self.dim, use_bias=self.proj_bias, dtype=self.dtype,
+                param_dtype=self.param_dtype, kernel_init=trunc_normal_init,
+                name="proj",
+            )(x)
         x = fused_drop(x, self.proj_drop, deterministic,
                        lambda: self.make_rng("dropout"))
         return x
@@ -286,6 +342,7 @@ class Block(nn.Module):
     drop_path: float = 0.0
     attention_impl: str = "xla"
     gelu_tanh: bool = False
+    quant: str = "none"
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -296,7 +353,8 @@ class Block(nn.Module):
             dim=self.dim, num_heads=self.num_heads, qkv_bias=self.qkv_bias,
             qk_norm=self.qk_norm, proj_bias=self.proj_bias, attn_drop=self.attn_drop,
             proj_drop=self.proj_drop, attention_impl=self.attention_impl,
-            dtype=self.dtype, param_dtype=self.param_dtype, name="attn",
+            quant=self.quant, dtype=self.dtype, param_dtype=self.param_dtype,
+            name="attn",
         )(y, deterministic)
         if self.init_values:
             y = LayerScale(self.dim, self.init_values, self.param_dtype, name="ls1")(y)
@@ -306,7 +364,7 @@ class Block(nn.Module):
         y = Mlp(
             hidden_features=int(self.dim * self.mlp_ratio), drop=self.proj_drop,
             use_bias=self.proj_bias, gelu_tanh=self.gelu_tanh,
-            dtype=self.dtype, param_dtype=self.param_dtype,
+            quant=self.quant, dtype=self.dtype, param_dtype=self.param_dtype,
             name="mlp",
         )(y, deterministic)
         if self.init_values:

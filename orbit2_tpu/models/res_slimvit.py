@@ -79,6 +79,11 @@ class ResSlimViT(nn.Module):
     # "exact" (erf GELU — torch-reference numerics) or "tanh" (approx GELU,
     # measured -4.5% trunk step time at 117M, scripts/bench_r4_fusion.py)
     gelu_approx: str = "exact"
+    # "none" | "w8a8": int8 trunk matmuls for SERVING (deterministic
+    # forwards only; ops/quant.py). Convert trained params with
+    # orbit2_tpu/utils/quantize.py::quantize_params. Measured 1.285x on the
+    # 1B trunk chain, flat at 117M (scripts/bench_int8_probe.py).
+    quant: str = "none"
     remat: bool = False
     # 'full' recomputes everything in the backward (reference
     # apply_activation_checkpointing semantics); 'dots' saves matmul outputs
@@ -286,7 +291,7 @@ class ResSlimViT(nn.Module):
                 dim=D, num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
                 qkv_bias=True, proj_drop=self.drop_rate, attn_drop=self.drop_rate,
                 drop_path=float(dpr[i]), attention_impl=self.attention_impl,
-                gelu_tanh=self.gelu_approx == "tanh",
+                gelu_tanh=self.gelu_approx == "tanh", quant=self.quant,
                 dtype=self.dtype, param_dtype=self.param_dtype, name=f"blocks_{i}",
             )
             tokens = self._seq_constraint(blk(tokens, deterministic))

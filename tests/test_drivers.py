@@ -346,6 +346,64 @@ def test_evaluate_restores_on_different_mesh_shape(
     assert means and all(np.isfinite(v) for v in means.values())
 
 
+def test_evaluate_driver_w8a8_quantized_serving(
+        driver_cfg, tmp_path, monkeypatch, capsys):
+    """`evaluate.py --quant w8a8` serves the trained checkpoint through the
+    int8 trunk (Trainer.test(quant=...) -> utils/quantize.py): metrics stay
+    finite and within a few percent of the fp eval of the SAME checkpoint."""
+    import json
+
+    cfg_path = tmp_path / "eval_q.yaml"
+    cfg_path.write_text(yaml.safe_dump(driver_cfg))
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(sys, "argv", ["train.py", str(cfg_path)])
+    load_example("train").main()
+
+    monkeypatch.setattr(sys, "argv",
+                        ["evaluate.py", str(cfg_path), "--max-batches", "2"])
+    capsys.readouterr()
+    load_example("evaluate").main()
+    fp = json.loads(capsys.readouterr().out)
+
+    monkeypatch.setattr(sys, "argv",
+                        ["evaluate.py", str(cfg_path), "--max-batches", "2",
+                         "--quant", "w8a8"])
+    load_example("evaluate").main()
+    q8 = json.loads(capsys.readouterr().out)
+
+    assert set(q8) == set(fp)
+    for k in fp:
+        assert np.isfinite(q8[k]), k
+    rmse_keys = [k for k in fp if "rmse" in k]
+    assert rmse_keys
+    for k in rmse_keys:
+        assert abs(q8[k] - fp[k]) <= 0.05 * abs(fp[k]) + 1e-3, (k, fp[k], q8[k])
+
+
+def test_trainer_quant_eval_does_not_poison_fp_state(driver_cfg, tmp_path,
+                                                     monkeypatch):
+    """Trainer.test(quant="w8a8") must leave trainer.params in fp: a later
+    fp test()/visualize on the SAME trainer would otherwise apply the fp
+    model to int8 kernels (the verify-drive regression)."""
+    from orbit2_tpu.config import load_config
+    from orbit2_tpu.training.trainer import Trainer
+
+    import jax
+    import jax.numpy as jnp
+
+    monkeypatch.chdir(tmp_path)
+    t = Trainer(load_config(driver_cfg))
+    t.fit(max_epochs=1, max_steps_per_epoch=2)
+    fp1 = t.test(max_batches=1)
+    q8 = t.test(max_batches=1, quant="w8a8")
+    assert all(np.isfinite(v) for v in q8.values())
+    # params are still the fp tree and fp eval still works, bit-identically
+    assert jax.tree.all(jax.tree.map(
+        lambda l: l.dtype != jnp.int8, t.params))
+    fp2 = t.test(max_batches=1)
+    assert fp1 == fp2
+
+
 def test_visualize_untiled_module_matches_direct_forward(synth_dataset):
     """Equality check behind the driver fix: with an untiled module and a
     geometry-agnostic forward, the stitched prediction is EXACTLY the
