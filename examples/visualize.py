@@ -20,6 +20,9 @@ def main():
     p.add_argument("--index", type=int, default=0)
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--out-dir", default="visualizations")
+    p.add_argument("--quant", default="none", choices=["none", "w8a8"],
+                   help="w8a8: stitch through the int8 serving trunk "
+                        "(1.9x at 1B shapes — docs/performance.md)")
     args = p.parse_args()
 
     from orbit2_tpu.config import load_config
@@ -69,8 +72,12 @@ def main():
     # conv presets (unet/resnet) carry BatchNorm running stats in aux
     # collections — the restored checkpoint's if present, else init values
     aux = state.get("aux", trainer.aux) if path else trainer.aux
+    params = trainer.params
+    if args.quant != "none":
+        model, params = trainer._quantize_for_serving(args.quant, model, dm,
+                                                      params)
     fwd = jax.jit(lambda x: model.apply(
-        {"params": trainer.params, **aux}, jnp.asarray(x), tuple(in_vars),
+        {"params": params, **aux}, jnp.asarray(x), tuple(in_vars),
         tuple(out_vars), deterministic=True))
 
     res = visualize_at_index(

@@ -77,6 +77,30 @@ def test_visualize_driver_emits_full_stitched_globe(
     assert dumped.shape == (64, 128)
 
 
+def test_visualize_driver_w8a8_stitches_close_to_fp(
+        tiled_inference_cfg, tmp_path, monkeypatch):
+    """`visualize.py --quant w8a8` stitches through the int8 trunk: same
+    output geometry, prediction within a few percent of the fp stitch."""
+    cfg_path = tmp_path / "vis_q.yaml"
+    cfg_path.write_text(yaml.safe_dump(tiled_inference_cfg))
+
+    mod = load_example("visualize")
+    monkeypatch.setattr(sys, "argv", [
+        "visualize.py", str(cfg_path), "--index", "1",
+        "--out-dir", str(tmp_path / "viz_fp")])
+    fp = mod.main()
+    monkeypatch.setattr(sys, "argv", [
+        "visualize.py", str(cfg_path), "--index", "1",
+        "--out-dir", str(tmp_path / "viz_q8"), "--quant", "w8a8"])
+    q8 = mod.main()
+
+    assert q8["preds"].shape == fp["preds"].shape == (3, 64, 128)
+    a, b = np.asarray(fp["preds"]), np.asarray(q8["preds"])
+    rel = float(np.sqrt(np.mean((a - b) ** 2)) / (np.std(a) + 1e-9))
+    assert rel < 0.05, rel
+    assert not np.allclose(a, b)  # int8 actually ran
+
+
 @pytest.fixture
 def driver_cfg(synth_dataset):
     """Untiled tiny config dict for the train/evaluate/finetune drivers —
