@@ -126,7 +126,68 @@ def bench_scale(*, embed, depth, heads, batch, img, remat, dtype, iters,
     dt = (time.perf_counter() - t0) / iters
     # release device buffers before the next scale runs
     del params, opt_state, x, y
+    import gc
+
+    gc.collect()
     return dt, n_params, final_loss
+
+
+def bench_serving_1b(dtype, iters=12, repeats=3):
+    """Deterministic 1B forward at the shipped serving geometry (b2 x
+    2048-token tiles), bf16 vs the w8a8 int8 trunk (ops/quant.py).
+    Iterations are CHAINED (each input depends on the previous output) so
+    dispatch overlap cannot flatter the number — the methodology that
+    exposed the round-3 fused-MLP gate artifact
+    (scripts/bench_fusedmlp_gate.py). Min of `repeats` interleaved repeats:
+    the FIRST post-compile repeat of the bf16 forward runs ~2.7x slow
+    (235 vs 87 ms/iter, reproduced across fresh processes) before settling
+    — a warm-up of the axon path, not sustained throughput; w8a8 is steady
+    from the first repeat."""
+    import dataclasses
+
+    from orbit2_tpu.models import ResSlimViT
+    from orbit2_tpu.utils.quantize import quantize_params
+
+    model = ResSlimViT(
+        default_vars=DEFAULT_VARS, img_size=(64, 128), in_channels=7,
+        out_channels=3, superres_mag=4, patch_size=2, embed_dim=3072,
+        depth=8, decoder_depth=2, num_heads=24, learn_pos_emb=True,
+        spatial_resolution=111.0, attention_impl="auto", dtype=dtype,
+        drop_rate=0.0, drop_path=0.0,
+    )
+    qmodel = dataclasses.replace(model, quant="w8a8")
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 7, 64, 128)), jnp.float32)
+    params = model.init({"params": jax.random.PRNGKey(0)}, x, DEFAULT_VARS,
+                        OUT_VARS, deterministic=True)["params"]
+    qparams = jax.device_put(
+        quantize_params(qmodel, params, x, DEFAULT_VARS, OUT_VARS))
+
+    def make(m):
+        return jax.jit(lambda pp, xx: m.apply(
+            {"params": pp}, xx, DEFAULT_VARS, OUT_VARS, deterministic=True))
+
+    def timeit(f, p):
+        out = f(p, x)
+        float(jnp.sum(out.astype(jnp.float32)))  # tunnel-safe sync
+        xx = x
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = f(p, xx)
+            xx = xx * (1.0 + 0.0 * jnp.mean(out).astype(xx.dtype))
+        float(jnp.sum(out.astype(jnp.float32)))
+        return (time.perf_counter() - t0) / iters
+
+    f16, f8 = make(model), make(qmodel)
+    t16, t8 = [], []
+    for _ in range(repeats):  # interleave impls within each repeat
+        t16.append(timeit(f16, params))
+        t8.append(timeit(f8, qparams))
+    del params, qparams, x
+    import gc
+
+    gc.collect()
+    return min(t16), min(t8)
 
 
 def main():
@@ -171,7 +232,25 @@ def main():
         "loss": float(loss),
     }
 
-    if on_tpu:  # 0.97B single-chip — measured, not recorded. No remat: the
+    if on_tpu:
+        # Serving first (the deterministic 1B forward, bf16 vs w8a8 int8
+        # trunk — evaluate.py --quant w8a8): BEFORE the 1B training bench,
+        # whose ~12GB of fp32 master+adam buffers leave enough HBM residue
+        # to triple the bf16 forward's time if it runs after (measured:
+        # 87 ms solo vs 253 ms after the train benches).
+        try:
+            s16, s8 = bench_serving_1b(dtype)
+            result.update({
+                "serving_1b_bf16_ms": round(s16 * 1e3, 2),
+                "serving_1b_bf16_fields_per_sec": round(2 / s16, 2),
+                "serving_1b_w8a8_ms": round(s8 * 1e3, 2),
+                "serving_1b_w8a8_fields_per_sec": round(2 / s8, 2),
+                "serving_1b_w8a8_speedup": round(s16 / s8, 3),
+            })
+        except Exception as e:
+            result["serving_error"] = f"{type(e).__name__}: {str(e)[:200]}"
+
+        # 0.97B single-chip — measured, not recorded. No remat: the
         # fused in-kernel dropout removed the mask residuals, so b2 fits HBM
         # (r2 sweep: remat-full 45.2%, dots 49.3%, none 53.4% MFU). bf16
         # adam first moment (configs/interm_1b.yaml adam_mu_dtype): less
