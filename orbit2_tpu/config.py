@@ -39,6 +39,12 @@ class TrainerConfig:
     # the second moment stays fp32 (the precision-critical one). Default
     # fp32 = exact torch-AdamW parity.
     adam_mu_dtype: str = "float32"
+    # Adam second-moment storage dtype. bfloat16 frees the other ~1.9GB at
+    # 1B scale; arithmetic stays fp32 (optim.py::_scale_by_adam_2dtypes),
+    # only inter-step storage is cast. Opt-in: nu is the precision-critical
+    # moment — convergence re-verified on-chip before shipping as a default
+    # (docs/performance.md, round 4).
+    adam_nu_dtype: str = "float32"
     seed: int = 0
     # data-order seed: file permutations + reservoir shuffle derive from
     # THIS seed, so data order can vary across runs without touching the
@@ -71,6 +77,9 @@ class TrainerConfig:
         if self.adam_mu_dtype not in ("float32", "bfloat16"):
             raise ConfigError(
                 f"adam_mu_dtype must be float32|bfloat16, got {self.adam_mu_dtype}")
+        if self.adam_nu_dtype not in ("float32", "bfloat16"):
+            raise ConfigError(
+                f"adam_nu_dtype must be float32|bfloat16, got {self.adam_nu_dtype}")
         if self.max_epochs <= 0 or self.batch_size <= 0:
             raise ConfigError("max_epochs and batch_size must be positive")
         if self.grad_accum < 1 or self.batch_size % self.grad_accum:

@@ -17,6 +17,77 @@ from typing import Any, Dict
 import optax
 
 
+def _scale_by_adam_2dtypes(b1=0.9, b2=0.999, eps=1e-8, eps_root=0.0,
+                           mu_dtype=None, nu_dtype=None):
+    """optax.scale_by_adam with independent storage dtypes for BOTH moments.
+
+    optax only exposes `mu_dtype`; compressing the second moment too frees
+    another ~1.9GB at 1B scale (the lever behind the bf16-mu +2.8pt MFU win,
+    docs/performance.md). All arithmetic runs in the gradient dtype (fp32
+    here — master params are fp32); only the *storage* between steps is cast,
+    exactly like optax's mu_dtype. Bias-corrected update matches optax:
+    mu_hat / (sqrt(nu_hat + eps_root) + eps)."""
+    import jax
+    import jax.numpy as jnp
+
+    mu_dt = jnp.dtype(mu_dtype) if mu_dtype is not None else None
+    nu_dt = jnp.dtype(nu_dtype) if nu_dtype is not None else None
+
+    def init_fn(params):
+        mu = jax.tree.map(
+            lambda p: jnp.zeros_like(p, dtype=mu_dt or p.dtype), params)
+        nu = jax.tree.map(
+            lambda p: jnp.zeros_like(p, dtype=nu_dt or p.dtype), params)
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32), mu=mu, nu=nu)
+
+    def update_fn(updates, state, params=None):
+        del params
+        count = optax.safe_int32_increment(state.count)
+        # fresh moments in the gradient dtype (fp32); matching optax, the
+        # UPDATE is computed from these pre-cast values and only the stored
+        # state is cast down — one rounding per step, not two
+        mu = jax.tree.map(
+            lambda g, m: (1.0 - b1) * g + b1 * m, updates, state.mu)
+        nu = jax.tree.map(
+            lambda g, v: (1.0 - b2) * jnp.square(g) + b2 * v,
+            updates, state.nu)
+        bc1 = 1.0 - b1 ** count
+        bc2 = 1.0 - b2 ** count
+
+        def upd(m, v):
+            mf = m / bc1.astype(m.dtype)
+            vf = v / bc2.astype(v.dtype)
+            return mf / (jnp.sqrt(vf + eps_root) + eps)
+        # NB eps/eps_root may arrive as injected f32 scalars — same math
+
+        out = jax.tree.map(upd, mu, nu)
+        if mu_dt is not None:
+            mu = jax.tree.map(lambda m: m.astype(mu_dt), mu)
+        if nu_dt is not None:
+            nu = jax.tree.map(lambda v: v.astype(nu_dt), nu)
+        return out, optax.ScaleByAdamState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def _adamw_2dtypes(learning_rate, b1, b2, eps, eps_root, weight_decay,
+                   mu_dtype, nu_dtype):
+    """optax.adamw-equivalent chain that also compresses nu storage.
+
+    The signature deliberately mirrors optax.adamw's numeric args so the
+    inject_hyperparams state tree (hyperparams dict keys + inner chain
+    states) is IDENTICAL — an fp32-nu checkpoint written by the stock
+    optax.adamw path restores under adam_nu_dtype bfloat16 and vice versa
+    (Orbax casts leaves to the template dtype)."""
+    return optax.chain(
+        _scale_by_adam_2dtypes(b1=b1, b2=b2, eps=eps, eps_root=eps_root,
+                               mu_dtype=mu_dtype, nu_dtype=nu_dtype),
+        optax.add_decayed_weights(weight_decay),
+        optax.scale_by_learning_rate(learning_rate),
+    )
+
+
 def linear_warmup_cosine_annealing(
     base_lr: float,
     warmup_epochs: int,
@@ -44,8 +115,24 @@ def make_optimizer(name: str, hyperparams: Dict[str, Any]) -> optax.GradientTran
     lr = float(hyperparams.get("lr", 1e-3))
     if name == "adamw":
         betas = hyperparams.get("betas", (0.9, 0.999))
-        # mu_dtype=bfloat16 (config trainer.adam_mu_dtype) halves the first
-        # moment's HBM footprint/bandwidth; nu stays fp32
+        # mu_dtype / nu_dtype = bfloat16 (config trainer.adam_{mu,nu}_dtype)
+        # halve the respective moment's HBM footprint/bandwidth. nu_dtype
+        # unset/float32 keeps bit-exact optax.adamw (the torch-parity path).
+        nu_dtype = hyperparams.get("nu_dtype")
+        if nu_dtype in ("float32",):
+            nu_dtype = None
+        if nu_dtype:
+            return optax.inject_hyperparams(
+                _adamw_2dtypes, static_args=("mu_dtype", "nu_dtype"))(
+                learning_rate=lr,
+                b1=float(betas[0]),
+                b2=float(betas[1]),
+                eps=1e-8,
+                eps_root=0.0,
+                weight_decay=float(hyperparams.get("weight_decay", 0.0)),
+                mu_dtype=hyperparams.get("mu_dtype"),
+                nu_dtype=nu_dtype,
+            )
         return optax.inject_hyperparams(
             optax.adamw, static_args=("mu_dtype",))(
             learning_rate=lr,

@@ -287,6 +287,7 @@ class Trainer:
             "lr": c.model.lr, "weight_decay": c.model.weight_decay,
             "betas": (c.model.beta_1, c.model.beta_2),
             "mu_dtype": c.trainer.adam_mu_dtype,
+            "nu_dtype": c.trainer.adam_nu_dtype,
         })
         self.lr_schedule = make_lr_scheduler("linear-warmup-cosine-annealing", {
             "lr": c.model.lr, "warmup_epochs": c.model.warmup_epochs,

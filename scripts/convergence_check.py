@@ -65,10 +65,10 @@ SCALES = {
 }
 
 
-def main(drop=0.0, mu_dtype=None, scale="8m"):
+def main(drop=0.0, mu_dtype=None, nu_dtype=None, scale="8m"):
     embed, depth, heads, batch, lr, steps = SCALES[scale]
     print(f"== scale {scale} dropout {drop} mu_dtype {mu_dtype or 'float32'}"
-          f" ==", flush=True)
+          f" nu_dtype {nu_dtype or 'float32'} ==", flush=True)
     global B
     B = batch
     rng = np.random.default_rng(0)
@@ -83,7 +83,8 @@ def main(drop=0.0, mu_dtype=None, scale="8m"):
                         OUT_VARS, deterministic=True)["params"]
     tx = make_optimizer("adamw", {"lr": lr, "weight_decay": 1e-5,
                                   "betas": (0.9, 0.99),
-                                  "mu_dtype": mu_dtype})
+                                  "mu_dtype": mu_dtype,
+                                  "nu_dtype": nu_dtype})
     opt = tx.init(params)
     sched = linear_warmup_cosine_annealing(lr, 20, steps, 1e-7, 1e-8)
     loss_metric = METRICS_REGISTRY["bayesian_tv"](aggregate_only=True)
@@ -126,6 +127,7 @@ if __name__ == "__main__":
     # in-kernel attention dropout + fused elementwise dropout + drop-path)
     # --mu-bf16: bf16 adam first moment, the shipped interm_1b default —
     # verifies the optimizer-state compression doesn't hurt convergence
+    # --nu-bf16: bf16 adam SECOND moment (optim.py::_scale_by_adam_2dtypes)
     # --scale 117m: the bench-shape model (embed 1024 x depth 8), 800 steps
     scale = "8m"
     if "--scale" in sys.argv:
@@ -135,4 +137,5 @@ if __name__ == "__main__":
         scale = sys.argv[idx + 1]
     main(drop=0.1 if "--dropout" in sys.argv else 0.0,
          mu_dtype="bfloat16" if "--mu-bf16" in sys.argv else None,
+         nu_dtype="bfloat16" if "--nu-bf16" in sys.argv else None,
          scale=scale)

@@ -174,6 +174,79 @@ def test_checkpoint_resume_across_adam_mu_dtype(tmp_path):
     assert np.isfinite(np.asarray(updates["w"])).all()
 
 
+def test_adamw_nu_dtype_path():
+    """adam_nu_dtype support (optim.py::_scale_by_adam_2dtypes):
+    (a) with fp32 storage the custom chain matches optax.adamw to the ulp
+        over a multi-step trajectory (single updates are bit-exact; optax
+        jit-fuses its bias correction, which can flip the last bit across
+        steps when stepping eagerly);
+    (b) with bf16 nu the second-moment state is stored bf16 and the update
+        trajectory stays within bf16-rounding distance of the fp32 one."""
+    import optax
+
+    params = {"w": jnp.linspace(-1.0, 1.0, 24).reshape(4, 6)}
+    gkey = jax.random.PRNGKey(3)
+
+    def run(tx, steps=5):
+        p = params
+        st = tx.init(p)
+        key = gkey
+        outs = []
+        for _ in range(steps):
+            key, sub = jax.random.split(key)
+            g = {"w": jax.random.normal(sub, (4, 6))}
+            up, st = tx.update(g, st, p)
+            p = optax.apply_updates(p, up)
+            outs.append(p["w"])
+        return p, st
+
+    tx_ref = make_optimizer("adamw", {"lr": 1e-2, "weight_decay": 1e-4})
+    tx_fp32 = make_optimizer("adamw", {"lr": 1e-2, "weight_decay": 1e-4,
+                                       "nu_dtype": "bfloat16"})
+    # force the custom chain with fp32 storage for the bit-exactness check
+    from orbit2_tpu.training.optim import _adamw_2dtypes
+    tx_custom32 = optax.inject_hyperparams(
+        _adamw_2dtypes, static_args=("mu_dtype", "nu_dtype"))(
+        learning_rate=1e-2, b1=0.9, b2=0.999, eps=1e-8, eps_root=0.0,
+        weight_decay=1e-4, mu_dtype=None, nu_dtype=None)
+
+    p_ref, _ = run(tx_ref)
+    p_c32, _ = run(tx_custom32)
+    np.testing.assert_allclose(np.asarray(p_ref["w"]),
+                               np.asarray(p_c32["w"]), rtol=0, atol=1e-6)
+
+    p_nu16, st16 = run(tx_fp32)
+    nu_leaf = st16.inner_state[0].nu["w"]
+    assert nu_leaf.dtype == jnp.bfloat16
+    mu_leaf = st16.inner_state[0].mu["w"]
+    assert mu_leaf.dtype == jnp.float32  # mu untouched unless asked
+    np.testing.assert_allclose(np.asarray(p_nu16["w"]),
+                               np.asarray(p_ref["w"]), rtol=0, atol=5e-3)
+
+
+def test_checkpoint_resume_across_adam_nu_dtype(tmp_path):
+    """Mirror of the mu-dtype resume test: an fp32-nu checkpoint restores
+    under adam_nu_dtype bfloat16 (Orbax casts to the template dtype) and the
+    optimizer keeps stepping."""
+    from orbit2_tpu.training import checkpoint as ck
+    from orbit2_tpu.training.optim import make_optimizer
+
+    params = {"w": jnp.linspace(-1.0, 1.0, 16).reshape(4, 4)}
+    tx32 = make_optimizer("adamw", {"lr": 1e-3})
+    path = str(tmp_path / "nu_ck")
+    ck.save_checkpoint(path, {"params": params, "opt_state": tx32.init(params),
+                              "epoch": 0})
+
+    tx16 = make_optimizer("adamw", {"lr": 1e-3, "mu_dtype": "bfloat16",
+                                    "nu_dtype": "bfloat16"})
+    template = {"params": params, "opt_state": tx16.init(params), "epoch": 0}
+    restored = ck.restore_checkpoint(path, template)
+    grads = {"w": jnp.ones((4, 4))}
+    updates, st = tx16.update(grads, restored["opt_state"], params)
+    assert st.inner_state[0].nu["w"].dtype == jnp.bfloat16
+    assert np.isfinite(np.asarray(updates["w"])).all()
+
+
 def test_trainer_multiphase_curriculum(synth_dataset, tmp_path):
     """Two dataset phases with different image sizes: the curriculum loop
     must re-specialize (for_phase) per data_key while sharing params
