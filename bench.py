@@ -73,7 +73,8 @@ def _backend_with_retry(attempts: int = 30, delay: float = 60.0) -> str:
 
 
 def bench_scale(*, embed, depth, heads, batch, img, remat, dtype, iters,
-                decoder_depth=2, mu_dtype=None, gelu_approx="exact"):
+                decoder_depth=2, mu_dtype=None, nu_dtype=None,
+                gelu_approx="exact"):
     """One measured config; returns (dt_seconds, n_params, loss)."""
     from orbit2_tpu.models import ResSlimViT
     from orbit2_tpu.registry import METRICS_REGISTRY
@@ -99,7 +100,7 @@ def bench_scale(*, embed, depth, heads, batch, img, remat, dtype, iters,
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
 
     tx = make_optimizer("adamw", {"lr": 1e-4, "weight_decay": 1e-5,
-                                  "mu_dtype": mu_dtype})
+                                  "mu_dtype": mu_dtype, "nu_dtype": nu_dtype})
     opt_state = tx.init(params)
     loss_metric = METRICS_REGISTRY["bayesian_tv"](aggregate_only=True)
     step = make_train_step(model, loss_metric, None, tx, DEFAULT_VARS, OUT_VARS)
@@ -253,12 +254,14 @@ def main():
         # 0.97B single-chip — measured, not recorded. No remat: the
         # fused in-kernel dropout removed the mask residuals, so b2 fits HBM
         # (r2 sweep: remat-full 45.2%, dots 49.3%, none 53.4% MFU). bf16
-        # adam first moment (configs/interm_1b.yaml adam_mu_dtype): less
-        # optimizer HBM traffic, measured +2.8pt MFU at b2 (r3b sweep);
-        # fp32 master params and fp32 second moment are retained.
+        # adam moments (configs/interm_1b.yaml adam_mu_dtype+adam_nu_dtype):
+        # less optimizer HBM traffic, measured +2.8pt MFU from mu (r3b) and
+        # a further +4pt from nu (r4b sweep, 237.7->219.9 ms in-process);
+        # fp32 master params retained, moment ARITHMETIC stays fp32.
         dt1b, n1b, loss1b = bench_scale(
             embed=3072, depth=8, heads=24, batch=2, img=(64, 128),
-            remat=False, dtype=dtype, iters=10, mu_dtype="bfloat16")
+            remat=False, dtype=dtype, iters=10, mu_dtype="bfloat16",
+            nu_dtype="bfloat16")
         mfu1b = 6.0 * n1b * tokens * 2 / dt1b / peak
         result.update({
             "measured_1b_samples_per_sec": round(2 / dt1b, 4),
