@@ -197,7 +197,17 @@ class IterDataModule:
         written by the PRISM pipeline at the out root; otherwise derives
         valid = finite & != -9999 over every timestep of the first train
         shard. Returns [H, W] float32 (1 = valid), or None when targets
-        carry no nodata."""
+        carry no nodata. The derivation decompresses the first shard's
+        out-variables (the reference sidesteps this by shipping a
+        precomputed mask.npy, mapmodule.py:44-45), so the result is cached
+        on the instance — Trainer wires the mask once per curriculum phase
+        visit."""
+        if hasattr(self, "_out_mask_cache"):
+            return self._out_mask_cache
+        self._out_mask_cache = self._derive_out_mask()
+        return self._out_mask_cache
+
+    def _derive_out_mask(self):
         path = os.path.join(self.out_root_dir, "mask.npy")
         if os.path.exists(path):
             return np.load(path).astype(np.float32)
@@ -243,10 +253,8 @@ class IterDataModule:
         """
         workers = max(1, self.num_workers) if shuffle else 1
         children = []
-        first_rng = None
         for worker_id in range(workers):
             rng = random.Random(self.seed + seed_offset)
-            first_rng = first_rng or rng
             reader = NpyReader(
                 inp_file_list=inp_files,
                 out_file_list=out_files,
@@ -267,12 +275,11 @@ class IterDataModule:
                 output_transforms=self.output_transforms,
                 subsample=self.subsample,
             ))
-        it = children[0] if workers == 1 else InterleavedDataIter(children)
-        return it, first_rng
+        return children[0] if workers == 1 else InterleavedDataIter(children)
 
     def setup(self, stage: Optional[str] = None):
         if stage != "test":
-            train_iter, _ = self._pipeline(
+            train_iter = self._pipeline(
                 self.inp_lister_train, self.out_lister_train, shuffle=True, seed_offset=0
             )
             # The buffer shuffle gets its OWN rng: the file-permutation rng
@@ -285,10 +292,10 @@ class IterDataModule:
                 (self.seed * 1000003) ^ (7919 * (self.data_par_rank + 1)))
             self.data_train = ShuffleIterableDataset(
                 train_iter, self.buffer_size, rng=buffer_rng)
-            self.data_val, _ = self._pipeline(
+            self.data_val = self._pipeline(
                 self.inp_lister_val, self.out_lister_val, shuffle=False, seed_offset=1
             )
-        self.data_test, _ = self._pipeline(
+        self.data_test = self._pipeline(
             self.inp_lister_test, self.out_lister_test, shuffle=False, seed_offset=2
         )
 
@@ -317,7 +324,7 @@ class IterDataModule:
             # collectives. Count what the store will actually serve.
             if getattr(self, "_store_loader", None) is not None:
                 return len(self._store_loader)
-            fill_iter, _ = self._pipeline(
+            fill_iter = self._pipeline(
                 self.inp_lister_train, self.out_lister_train,
                 shuffle=False, seed_offset=0)
             n = fill_iter.num_samples()
@@ -356,7 +363,7 @@ class IterDataModule:
 
             # unshuffled pipeline like the reference's DDStore branch
             # (no ShuffleIterableDataset; the store shuffles by index)
-            fill_iter, _ = self._pipeline(
+            fill_iter = self._pipeline(
                 self.inp_lister_train, self.out_lister_train,
                 shuffle=False, seed_offset=0,
             )
@@ -367,7 +374,7 @@ class IterDataModule:
             store._in_vars = list(probe[0].keys())
             store._out_vars = list(probe[1].keys())
             store.add(x0, y0)
-            fill_iter2, _ = self._pipeline(
+            fill_iter2 = self._pipeline(
                 self.inp_lister_train, self.out_lister_train,
                 shuffle=False, seed_offset=0,
             )

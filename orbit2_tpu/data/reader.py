@@ -196,14 +196,21 @@ class NpyReader:
                 rng.setstate(self.rng.getstate())
             rng.shuffle(pairs)
         n_files = len(pairs)
-        total_workers = self.num_workers * self.data_par_size
-        # wrap-around replication when files < shards (reference :61-66)
-        if n_files < total_workers:
-            n_multiply = total_workers // n_files
-            n_remain = total_workers - n_files * n_multiply
-            pairs = pairs * n_multiply + pairs[:n_remain]
-            n_files = len(pairs)
         num_shards = self.num_workers * self.data_par_size
+        # Wrap-around replication up to the next multiple of the shard
+        # count. The reference only wraps when files < shards
+        # (iterdataset.py:61-66) and otherwise floor-divides, silently
+        # serving NO shard the last n_files % num_shards files of each
+        # epoch's permutation (up to num_shards-1 whole shard files lost
+        # per epoch). Padding from the head of the same permutation keeps
+        # every shard equal-length (lockstep batch counts across ranks)
+        # while serving every file at least once per epoch; for
+        # files < shards this reduces bit-exactly to the reference's
+        # n_multiply/n_remain arithmetic.
+        if n_files % num_shards != 0:
+            target = -(-n_files // num_shards) * num_shards
+            pairs = (pairs * -(-target // n_files))[:target]
+            n_files = len(pairs)
         per_worker = n_files // num_shards
         shard_id = self.data_par_rank * self.num_workers + self.worker_id
         return pairs[shard_id * per_worker : (shard_id + 1) * per_worker]

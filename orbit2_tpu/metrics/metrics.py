@@ -216,6 +216,12 @@ class MaskedMSE(Metric):
         m = mask if mask is not None else getattr(self, "mask", None)
         error = jnp.square(pred - target)
         if m is not None:
+            # The train/eval steps top-left-crop the target grid to the model
+            # output when out_lat/out_lon is not an exact superres multiple
+            # (train.py:_crop_to_match); the full-grid [H, W] mask must be
+            # cropped the same way or the broadcast below shape-errors.
+            if m.shape[-2] > error.shape[-2] or m.shape[-1] > error.shape[-1]:
+                m = m[..., : error.shape[-2], : error.shape[-1]]
             m = jnp.broadcast_to(m, error.shape).astype(error.dtype)
             denom = m.mean() + 1e-9
             error = error * m / denom

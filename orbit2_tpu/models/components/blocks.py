@@ -147,7 +147,10 @@ class Mlp(nn.Module):
     def __call__(self, x, deterministic: bool = True):
         out_features = self.out_features or x.shape[-1]
         if self.quant == "w8a8":
-            assert deterministic, "w8a8 quantization is serving-only"
+            if not deterministic:  # not assert: must survive python -O
+                raise ValueError(
+                    "w8a8 quantization is serving-only: the rounded int8 "
+                    "path is piecewise-constant and carries zero gradient")
             xd = x.astype(self.dtype)
             h = QDense(x.shape[-1], self.hidden_features, self.use_bias,
                        self.dtype, name="fc1")(xd)
@@ -206,7 +209,10 @@ class Attention(nn.Module):
         B, N, C = x.shape
         head_dim = self.dim // self.num_heads
         if self.quant == "w8a8":
-            assert deterministic, "w8a8 quantization is serving-only"
+            if not deterministic:  # not assert: must survive python -O
+                raise ValueError(
+                    "w8a8 quantization is serving-only: the rounded int8 "
+                    "path is piecewise-constant and carries zero gradient")
             qkv = QDense(C, self.dim * 3, self.qkv_bias, self.dtype,
                          name="qkv")(x)
         else:

@@ -34,6 +34,7 @@ class VisionTransformer(nn.Module):
     num_heads: int = 16
     mlp_ratio: float = 4.0
     attention_impl: str = "xla"
+    gelu_approx: str = "exact"
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -75,6 +76,7 @@ class VisionTransformer(nn.Module):
                 dim=D, num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
                 qkv_bias=True, proj_drop=self.drop_rate, attn_drop=self.drop_rate,
                 drop_path=float(dpr[i]), attention_impl=self.attention_impl,
+                gelu_tanh=self.gelu_approx == "tanh",
                 dtype=self.dtype, param_dtype=self.param_dtype, name=f"blocks_{i}",
             )(tokens, deterministic)
         tokens = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,

@@ -177,6 +177,8 @@ class Trainer:
         if mask is None:
             log.warning("mask-aware loss requested but the data module "
                         "derives no validity mask — running unmasked")
+            for l in maskable:  # clear a previous dataset's mask
+                l.mask = None
             return
         if self.cfg.tiling.effective_div > 1:
             raise ValueError(
@@ -318,6 +320,12 @@ class Trainer:
                     self._data_modules[data_key] = dm
                 if first_time:
                     self._build_model(dm, data_key)
+                else:
+                    # masked losses hold ONE mask; a multi-dataset curriculum
+                    # must swap in the current phase's validity mask before
+                    # this phase's train step traces (the jit bakes it) and
+                    # before live eval metrics run (they read it per call)
+                    self._wire_out_mask(dm)
 
                 phase_model = self._phase_model(dm, data_key)
                 in_vars, out_vars = dm.get_data_variables()
@@ -637,10 +645,17 @@ class Trainer:
         (docs/performance.md "w8a8 serving")."""
         c = self.cfg
         data_key = data_key or next(iter(c.data.low_res_dir))
-        dm = self._make_data_module(data_key)
-        dm.setup("test")
+        dm = self._data_modules.get(data_key)
+        if dm is None:  # not pre-built by fit(); test-only setup, uncached
+            dm = self._make_data_module(data_key)
+            dm.setup("test")
         if self.model is None:
             self._build_model(dm, data_key)
+        else:
+            # the wired mask may belong to the dataset fit() last visited —
+            # masked eval on a different data_key must swap in THIS
+            # dataset's validity mask (live metrics read it per call)
+            self._wire_out_mask(dm)
         phase_model = self._phase_model(dm, data_key)
         in_vars, out_vars = dm.get_data_variables()
         if self.params is None:

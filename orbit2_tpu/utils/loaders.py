@@ -266,7 +266,8 @@ def load_architecture(
                 learn_pos_emb=True, embed_dim=embed_dim, depth=depth,
                 decoder_depth=decoder_depth, num_heads=num_heads,
                 mlp_ratio=mlp_ratio, drop_path=drop_path, drop_rate=drop_rate,
-                attention_impl=attention_impl, dtype=dtype,
+                attention_impl=attention_impl, gelu_approx=gelu_approx,
+                dtype=dtype,
             )
             return PreInterpolated(
                 Interpolation(scale_factor=out_height / in_height, mode="bilinear"),

@@ -516,6 +516,27 @@ def test_interleave_wraparound_replicates_like_reference(tmp_path):
     assert sorted(seen) == sorted(list(range(4)) * 2)
 
 
+def test_interleave_remainder_files_are_not_dropped(tmp_path):
+    """files % (workers*ranks) != 0: the reference's floor-division sharding
+    (iterdataset.py:76-88) silently serves NO worker the trailing files of
+    each epoch's permutation. The rebuild wrap-pads the permuted list to the
+    next shard multiple instead: with 5 files and 2 workers every file is
+    served at least once per epoch (one file twice), shards stay
+    equal-length, and num_batches counts the padding."""
+    roots, in_vars = _provenance_dataset(tmp_path, n_files=5)
+    dm = _make_dm(roots, in_vars, num_workers=2)
+    seen_files = []
+    n_batches = 0
+    for x, *_ in dm.train_dataloader():
+        seen_files.extend(int(x[s, 0, 0, 0]) for s in range(x.shape[0]))
+        n_batches += 1
+    assert n_batches == dm.num_batches("train")
+    counts = {f: seen_files.count(f) for f in set(seen_files)}
+    assert set(counts) == set(range(5))  # every file served
+    T = 4
+    assert sorted(counts.values()) == [T, T, T, T, 2 * T]  # one wrap-pad dup
+
+
 def test_interleave_epoch_permutations_stay_consistent(tmp_path):
     """Every worker rng advances exactly once per epoch, so epoch-2 shards
     are still disjoint+complete across ranks AND workers."""

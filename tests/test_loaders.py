@@ -142,3 +142,30 @@ def test_conv_and_vit_downscaling_presets_forward(dm, synth_dataset, arch):
                     deterministic=True)
     mag = ds["mag"]
     assert y.shape == (2, len(ds["out_vars"]), ds["H"] * mag, ds["W"] * mag)
+
+
+def test_vit_preset_honors_gelu_approx(dm, synth_dataset):
+    """model.gelu_approx must reach the vit preset's Blocks, not only
+    res_slimvit — a tanh config that validates cleanly but silently runs the
+    erf path would misreport the measured -4.5% step-time option."""
+    import jax
+    import jax.numpy as jnp
+
+    ds = synth_dataset
+    kw = dict(default_vars=ds["in_vars"], patch_size=2, embed_dim=32,
+              depth=1, decoder_depth=1, num_heads=2)
+    exact = cl.load_architecture("downscaling", dm, "vit",
+                                 gelu_approx="exact", **kw)
+    tanh = cl.load_architecture("downscaling", dm, "vit",
+                                gelu_approx="tanh", **kw)
+    assert tanh.backbone.gelu_approx == "tanh"
+    rng = jax.random.PRNGKey(0)
+    x = jnp.asarray(
+        jax.random.normal(rng, (1, len(ds["in_vars"]), ds["H"], ds["W"])))
+    args = (x, tuple(ds["in_vars"]), tuple(ds["out_vars"]))
+    variables = exact.init({"params": rng}, *args, deterministic=True)
+    ye = exact.apply(variables, *args, deterministic=True)
+    yt = tanh.apply(variables, *args, deterministic=True)
+    # same params, different GELU form: outputs must differ (but barely)
+    assert not jnp.allclose(ye, yt, atol=0)
+    assert jnp.allclose(ye, yt, atol=1e-2)

@@ -196,6 +196,23 @@ def test_masked_mse():
     assert got2 == pytest.approx(got, rel=1e-5)
 
 
+def test_masked_mse_crops_full_grid_mask_to_prediction():
+    """The train/eval steps top-left-crop targets to the model output when
+    out_lat/out_lon is not an exact superres multiple (train._crop_to_match);
+    a full-grid [H, W] mask must be cropped the same way, not shape-error."""
+    rng = np.random.default_rng(7)
+    pred = rng.normal(size=(2, 1, 4, 6)).astype(np.float32)  # cropped grid
+    target = rng.normal(size=(2, 1, 4, 6)).astype(np.float32)
+    mask = np.zeros((5, 7), np.float32)  # full dataset grid, one row/col more
+    mask[:3, :4] = 1.0
+
+    m = METRICS_REGISTRY["masked_mse"](aggregate_only=True).set_mask(mask)
+    got = float(m(jnp.asarray(pred), jnp.asarray(target)))
+    mc = mask[:4, :6]
+    want = (((pred - target) ** 2) * mc).mean() / mc.mean()
+    assert got == pytest.approx(want, rel=1e-5)
+
+
 def test_gaussian_crps_properties():
     """CRPS of a sharp correct forecast ~0; grows with error/spread
     (reference functional.py:340-360)."""

@@ -86,7 +86,8 @@ def test_quant_is_serving_only():
     qmodel = dataclasses.replace(qmodel, drop_rate=0.1)
     qparams = qmodel.init({"params": jax.random.PRNGKey(0)}, x, IN_VARS,
                           OUT_VARS, deterministic=True)["params"]
-    with pytest.raises(AssertionError, match="serving-only"):
+    # ValueError, not AssertionError: the guard must survive python -O
+    with pytest.raises(ValueError, match="serving-only"):
         qmodel.apply({"params": qparams}, x, IN_VARS, OUT_VARS,
                      deterministic=False,
                      rngs={"dropout": jax.random.PRNGKey(1)})

@@ -803,3 +803,86 @@ def test_trainer_preseeded_conv_params_get_fresh_batch_stats(synth_dataset, tmp_
     hist = t.fit(max_epochs=1, max_steps_per_epoch=1)
     assert hist and np.isfinite(hist[0]["loss"])
     assert "batch_stats" in t.aux
+
+
+def test_trainer_masked_curriculum_rewires_mask_per_phase(
+        synth_dataset, tmp_path, caplog):
+    """A masked loss holds ONE mask; a two-dataset curriculum must swap in
+    each phase's validity mask (and test(data_key=...) the target dataset's)
+    instead of keeping whichever dataset wired first (reference analogue:
+    each experiment script wires Mask(dm.get_out_mask()) for ITS module,
+    era5_prism_deep_learning.py:39-42)."""
+    import logging
+
+    import numpy as np
+    from orbit2_tpu.config import load_config
+    from orbit2_tpu.training.trainer import Trainer
+
+    ds = synth_dataset
+    rng = np.random.default_rng(11)
+    h, w, t_len = 64, 128, 8
+
+    def write_masked(base, border):
+        for split in ("train", "val", "test"):
+            d = base / split
+            d.mkdir(parents=True, exist_ok=True)
+            for i in range(2):  # file count must match the low-res side
+                arrays = {}
+                for v in ds["out_vars"]:
+                    a = rng.normal(
+                        280, 10, size=(t_len, 1, h, w)).astype(np.float32)
+                    a[..., :border, :] = -9999.0
+                    a[..., -border:, :] = -9999.0
+                    arrays[v] = a
+                np.savez(d / f"s{i}.npz", **arrays)
+            np.savez(d / "climatology.npz",
+                     **{v: rng.normal(280, 1, (1, h, w)).astype(np.float32)
+                        for v in ds["out_vars"]})
+        np.save(base / "lat.npy", np.linspace(24, 50, h).astype(np.float32))
+        np.save(base / "lon.npy", np.linspace(235, 294, w).astype(np.float32))
+        np.savez(base / "normalize_mean.npz",
+                 **{v: np.array([280.0], np.float32) for v in ds["out_vars"]})
+        np.savez(base / "normalize_std.npz",
+                 **{v: np.array([10.0], np.float32) for v in ds["out_vars"]})
+
+    high_a, high_b = tmp_path / "high_a", tmp_path / "high_b"
+    write_masked(high_a, border=4)
+    write_masked(high_b, border=8)
+
+    cfg = load_config({
+        "trainer": {"max_epochs": 2, "batch_size": 2, "buffer_size": 4,
+                    "data_type": "float32", "train_loss": "masked_mse",
+                    "remat": False, "interval_epochs": 1},
+        "parallelism": {"fsdp": 2, "simple_ddp": 1, "tensor_par": 1},
+        "model": {"preset": "res_slimvit", "lr": 1e-3, "warmup_epochs": 1,
+                  "embed_dim": 32, "depth": 1, "decoder_depth": 1,
+                  "num_heads": 2, "patch_size": 2, "drop_path": 0.0,
+                  "drop_rate": 0.0, "attention_impl": "xla"},
+        "data": {
+            "low_res_dir": {"A": ds["low"], "B": ds["low"]},
+            "high_res_dir": {"A": str(high_a), "B": str(high_b)},
+            "spatial_resolution": {"A": 625, "B": 625},
+            "default_vars": list(ds["in_vars"]),
+            "dict_in_variables": {"A": list(ds["in_vars"]),
+                                  "B": list(ds["in_vars"])},
+            "dict_out_variables": {"A": list(ds["out_vars"]),
+                                   "B": list(ds["out_vars"])},
+            "var_weights": {},
+        },
+    })
+    pct = lambda border: 100.0 * (h - 2 * border) / h  # noqa: E731
+    t = Trainer(cfg, checkpoint_dir=str(tmp_path / "ck"))
+    with caplog.at_level(logging.INFO):
+        hist = t.fit(max_epochs=2, max_steps_per_epoch=2)
+    assert [rec["data_key"] for rec in hist] == ["A", "B"]
+    wired = [r.args[0] for r in caplog.records
+             if "wired validity mask" in r.getMessage()]
+    assert wired[0] == pytest.approx(pct(4), abs=0.1)   # phase A
+    assert wired[-1] == pytest.approx(pct(8), abs=0.1)  # phase B
+
+    caplog.clear()
+    with caplog.at_level(logging.INFO):
+        t.test(data_key="A")
+    wired = [r.args[0] for r in caplog.records
+             if "wired validity mask" in r.getMessage()]
+    assert wired and wired[0] == pytest.approx(pct(4), abs=0.1)
