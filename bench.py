@@ -258,10 +258,13 @@ def main():
         # less optimizer HBM traffic, measured +2.8pt MFU from mu (r3b) and
         # a further +4pt from nu (r4b sweep, 237.7->219.9 ms in-process);
         # fp32 master params retained, moment ARITHMETIC stays fp32.
+        # tanh GELU = the shipped interm_1b gelu_approx (a further -4.4%,
+        # 225.2 -> 215.3 ms min-of-3, scripts/bench_1b_gelu.py; convergence
+        # verified on-chip, convergence_check.py --gelu-tanh).
         dt1b, n1b, loss1b = bench_scale(
             embed=3072, depth=8, heads=24, batch=2, img=(64, 128),
             remat=False, dtype=dtype, iters=10, mu_dtype="bfloat16",
-            nu_dtype="bfloat16")
+            nu_dtype="bfloat16", gelu_approx="tanh")
         mfu1b = 6.0 * n1b * tokens * 2 / dt1b / peak
         result.update({
             "measured_1b_samples_per_sec": round(2 / dt1b, 4),

@@ -65,10 +65,12 @@ SCALES = {
 }
 
 
-def main(drop=0.0, mu_dtype=None, nu_dtype=None, scale="8m"):
+def main(drop=0.0, mu_dtype=None, nu_dtype=None, scale="8m",
+         gelu_approx="exact"):
     embed, depth, heads, batch, lr, steps = SCALES[scale]
     print(f"== scale {scale} dropout {drop} mu_dtype {mu_dtype or 'float32'}"
-          f" nu_dtype {nu_dtype or 'float32'} ==", flush=True)
+          f" nu_dtype {nu_dtype or 'float32'} gelu {gelu_approx} ==",
+          flush=True)
     global B
     B = batch
     rng = np.random.default_rng(0)
@@ -77,6 +79,7 @@ def main(drop=0.0, mu_dtype=None, nu_dtype=None, scale="8m"):
         out_channels=1, superres_mag=MAG, patch_size=2, embed_dim=embed,
         depth=depth, decoder_depth=4, num_heads=heads, learn_pos_emb=True,
         spatial_resolution=111.0, attention_impl="auto",
+        gelu_approx=gelu_approx,
         dtype=jnp.bfloat16, drop_rate=drop, drop_path=drop)
     x0, y0 = make_batch(rng, B)
     params = model.init({"params": jax.random.PRNGKey(0)}, x0, DEFAULT_VARS,
@@ -135,7 +138,11 @@ if __name__ == "__main__":
         if idx + 1 >= len(sys.argv) or sys.argv[idx + 1] not in SCALES:
             raise SystemExit(f"--scale needs one of {sorted(SCALES)}")
         scale = sys.argv[idx + 1]
+    # --gelu-tanh: the tanh-approx GELU shipped in configs/interm_1b.yaml
+    # (measured -4.5% step time at 117M AND 1B) — verifies the approximation
+    # doesn't hurt convergence
     main(drop=0.1 if "--dropout" in sys.argv else 0.0,
          mu_dtype="bfloat16" if "--mu-bf16" in sys.argv else None,
          nu_dtype="bfloat16" if "--nu-bf16" in sys.argv else None,
+         gelu_approx="tanh" if "--gelu-tanh" in sys.argv else "exact",
          scale=scale)
