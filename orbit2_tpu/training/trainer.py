@@ -445,6 +445,13 @@ class Trainer:
                         "batches": nbatches, "seconds": dt,
                         "lr": self.lr_schedule(epoch),
                     }
+                    # epoch-boundary HBM telemetry (TPU/GPU; None on CPU) —
+                    # the reference prints torch.cuda.memory_reserved here
+                    # (intermediate_downscaling.py:746-747, 772)
+                    from orbit2_tpu.utils.memory import device_memory_stats
+                    hbm = device_memory_stats()
+                    if hbm:
+                        record.update({f"hbm_{k}": v for k, v in hbm.items()})
                     self.history.append(record)
                     self.metrics.log("train_epoch", **record)
                     self._save(epoch)

@@ -134,6 +134,22 @@ def test_trainer_end_to_end(tiny_config, tmp_path):
     assert h2 and h2[0]["epoch"] == 2
 
 
+def test_epoch_record_carries_hbm_telemetry(tiny_config, tmp_path, monkeypatch):
+    """Epoch records ride allocator stats when the backend keeps them — the
+    reference prints torch.cuda.memory_reserved at the same boundaries
+    (intermediate_downscaling.py:746-747, 772). Inert on CPU (no stats)."""
+    from orbit2_tpu.training.trainer import Trainer
+    from orbit2_tpu.utils import memory as mem
+
+    monkeypatch.setattr(
+        mem, "device_memory_stats",
+        lambda device=None: {"bytes_in_use": 123, "bytes_limit": 456})
+    t = Trainer(tiny_config, checkpoint_dir=str(tmp_path / "ck"))
+    hist = t.fit(max_epochs=1, max_steps_per_epoch=1)
+    assert hist[0]["hbm_bytes_in_use"] == 123
+    assert hist[0]["hbm_bytes_limit"] == 456
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from orbit2_tpu.training import checkpoint as ck
 
