@@ -63,6 +63,11 @@ class TrainerConfig:
     # per optimizer update (reference trains interm_1b/10b at bs32 over
     # 128-256 ranks; this reproduces the effective batch on small meshes)
     grad_accum: int = 1
+    # persistent XLA compilation-cache directory: a second run of the same
+    # config skips the cold compile (minutes at 1B+). No reference
+    # analogue — torch eager pays no compile cost. Overridable with
+    # ORBIT2_COMPILATION_CACHE=/path (env wins, like ORBIT2_USE_SAMPLESTORE).
+    compilation_cache: Optional[str] = None
 
     def validate(self):
         if self.task not in ("downscaling", "forecasting",

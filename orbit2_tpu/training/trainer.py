@@ -37,6 +37,9 @@ class Trainer:
         self.debug_grad_norms = debug_grad_norms
         self.keep_last_checkpoints = keep_last_checkpoints
         self.cfg = config.validate()
+        from orbit2_tpu.utils.compile_cache import maybe_enable_from_config
+
+        maybe_enable_from_config(self.cfg.trainer)
         if self.cfg.parallelism.seq_par > 1:
             from orbit2_tpu.ops.seq_attention import set_seq_impl
 

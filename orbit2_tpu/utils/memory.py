@@ -54,7 +54,8 @@ def log_memory(metrics, event: str = "memory", **extra) -> Optional[Dict]:
 
 
 def plan_train_memory(cfg, *, img, in_channels: int, out_channels: int,
-                      batch: int, mesh=None) -> Dict[str, Any]:
+                      batch: int, mesh=None,
+                      include_collectives: bool = False) -> Dict[str, Any]:
     """AOT-compile the FULL train step for ``cfg`` at tile shape ``img`` on
     ``mesh`` (default: the config's own parallelism mesh) without allocating
     any real buffers, and return the per-device memory breakdown.
@@ -194,4 +195,8 @@ def plan_train_memory(cfg, *, img, in_channels: int, out_channels: int,
     if stats and stats.get("bytes_limit"):
         plan["hbm_limit_bytes"] = stats["bytes_limit"]
         plan["fits_hbm"] = plan["total_bytes_per_device"] <= stats["bytes_limit"]
+    if include_collectives:
+        from orbit2_tpu.utils.scaling import collective_inventory
+
+        plan["collectives"] = collective_inventory(compiled.as_text())
     return plan

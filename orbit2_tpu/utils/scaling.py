@@ -1,0 +1,128 @@
+"""Mesh-scaling planner: per-step collective traffic for any config × mesh.
+
+The reference scales by launching Slurm jobs and watching NCCL timings
+(reference examples/intermediate_downscaling.py:449-476 picks DP/TP sizes,
+the collectives themselves are buried in FSDP/NCCL). On TPU the whole train
+step is one XLA program, so the compiler's OWN choice of collectives can be
+read back ahead of time: AOT-compile the step for each candidate mesh on
+virtual CPU devices, parse the optimized HLO for collective ops, and report
+bytes-on-the-wire per step next to the per-device memory plan. That turns
+"which mesh shape should this config train on?" into a table computed on a
+laptop instead of a pod-hours bisection.
+
+Composes with :func:`orbit2_tpu.utils.memory.plan_train_memory` (which
+does the abstract compile and memory analysis); this module adds the
+collective inventory and the sweep driver. See scripts/scaling_plan.py for
+the CLI and docs/scaling.md for recorded 1B sweeps.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Iterable, List, Optional
+
+_DTYPE_BYTES = {
+    "pred": 1, "s8": 1, "u8": 1, "f8e4m3fn": 1, "f8e5m2": 1,
+    "s16": 2, "u16": 2, "f16": 2, "bf16": 2,
+    "s32": 4, "u32": 4, "f32": 4,
+    "s64": 8, "u64": 8, "f64": 8, "c64": 8, "c128": 16,
+}
+
+COLLECTIVE_OPS = ("all-reduce", "all-gather", "reduce-scatter",
+                  "all-to-all", "collective-permute", "collective-broadcast")
+
+# HLO instructions are `%name = TYPE opcode(...)`, one per line. Async
+# pairs count at the -done (its result is the transferred buffer; the
+# -start tuple double-counts the operand). The op name is located first
+# and the TYPE taken as everything between the ` = ` and the op — tuple
+# types with >5 elements embed `/*index=N*/` comments (whose `=` breaks
+# any "no-equals-in-type" shortcut), and XLA's grad sync is exactly such
+# a many-element fused tuple all-reduce.
+_OP_RE = re.compile(
+    r"\s(?P<op>%s)(?P<suffix>-start|-done)?\(" % "|".join(COLLECTIVE_OPS))
+_SHAPE_RE = re.compile(r"([a-z][a-z0-9]*)\[([0-9,]*)\]")
+
+
+def _type_bytes(type_str: str) -> int:
+    total = 0
+    for dtype, dims in _SHAPE_RE.findall(type_str):
+        size = _DTYPE_BYTES.get(dtype)
+        if size is None:  # token/opaque types carry no payload
+            continue
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        total += n * size
+    return total
+
+
+def collective_inventory(hlo_text: str) -> Dict[str, Any]:
+    """Count collective ops and their result bytes in optimized HLO text.
+
+    Returns ``{"ops": {op: {"count": n, "bytes": b}}, "total_bytes": B,
+    "total_count": N}``. Bytes are the per-device RESULT buffer of each
+    collective — the tensor XLA materializes on every participant, a
+    mesh-size-independent proxy for wire traffic (ring algorithms move
+    ~2x(n-1)/n of it for all-reduce). Ops inside while-loop bodies (e.g.
+    grad-accum microbatch scans) are counted once per static occurrence;
+    they run once per iteration at execution time."""
+    ops: Dict[str, Dict[str, int]] = {}
+    for line in hlo_text.splitlines():
+        head, sep, rest = line.partition(" = ")
+        if not sep:
+            continue
+        m = _OP_RE.search(rest)
+        if m is None or m.group("suffix") == "-start":
+            continue
+        entry = ops.setdefault(m.group("op"), {"count": 0, "bytes": 0})
+        entry["count"] += 1
+        # type = result shape(s): everything between the `=` and the op
+        # name; operands after the op are %refs and never carry shapes
+        entry["bytes"] += _type_bytes(rest[:m.start()])
+    return {
+        "ops": ops,
+        "total_count": sum(e["count"] for e in ops.values()),
+        "total_bytes": sum(e["bytes"] for e in ops.values()),
+    }
+
+
+def plan_mesh_scaling(cfg, *, img, batch: int,
+                      mesh_shapes: Iterable[Dict[str, int]],
+                      in_channels: int = 7, out_channels: int = 3,
+                      ici_gbytes_per_sec: Optional[float] = None,
+                      ) -> List[Dict[str, Any]]:
+    """AOT-compile ``cfg``'s train step for each mesh shape in
+    ``mesh_shapes`` (dicts with replica/fsdp/tensor/seq keys, default 1)
+    and return one row per shape: the memory plan from
+    :func:`plan_train_memory` plus the collective inventory and — when
+    ``ici_gbytes_per_sec`` is given — a naive lower-bound estimate of
+    per-step ICI seconds (total collective bytes / bandwidth; overlap and
+    ring-efficiency not modeled). Shapes whose device product exceeds the
+    available (virtual) devices, or that don't divide ``batch``/heads,
+    yield a row with an "error" field instead of aborting the sweep."""
+    from orbit2_tpu.parallel.mesh import make_mesh
+    from orbit2_tpu.utils.memory import plan_train_memory
+
+    rows: List[Dict[str, Any]] = []
+    for shape in mesh_shapes:
+        spec = {"replica": 1, "fsdp": 1, "tensor": 1, "seq": 1}
+        spec.update(shape)
+        row: Dict[str, Any] = {"mesh": dict(spec)}
+        try:
+            mesh = make_mesh(**spec)
+            plan = plan_train_memory(
+                cfg, img=img, in_channels=in_channels,
+                out_channels=out_channels, batch=batch, mesh=mesh,
+                include_collectives=True)
+        except Exception as e:  # undividable batch/heads, too few devices...
+            row["error"] = f"{type(e).__name__}: {e}"
+            rows.append(row)
+            continue
+        row.update(plan)
+        coll = row.get("collectives", {})
+        if ici_gbytes_per_sec and coll.get("total_bytes"):
+            row["ici_seconds_lower_bound"] = (
+                coll["total_bytes"] / (ici_gbytes_per_sec * 2**30))
+        rows.append(row)
+    return rows

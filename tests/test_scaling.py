@@ -1,0 +1,82 @@
+"""Mesh-scaling planner (orbit2_tpu/utils/scaling.py).
+
+The reference sizes meshes by launching Slurm jobs and watching NCCL
+timings; here the compiler's own collective choices are read back from an
+abstract AOT compile — per mesh shape, on virtual CPU devices.
+"""
+
+from orbit2_tpu.config import (Config, ModelConfig, ParallelismConfig,
+                               TrainerConfig)
+from orbit2_tpu.utils.scaling import collective_inventory, plan_mesh_scaling
+
+FAKE_HLO = """
+HloModule train_step
+
+ENTRY %main (p0: bf16[4,8]) -> bf16[8,8] {
+  %p0 = bf16[4,8]{1,0} parameter(0)
+  %ar = bf16[4,8]{1,0} all-reduce(%p0), replica_groups={{0,1}}, to_apply=%add
+  %ags = (bf16[4,8]{1,0}, bf16[8,8]{1,0}) all-gather-start(%ar), dimensions={0}
+  %agd = bf16[8,8]{1,0} all-gather-done(%ags)
+  %tup = (f32[2,2]{1,0}, f32[2,2]{1,0}) all-reduce(%c0, %c1), to_apply=%add
+  %grads = (f32[4]{0}, f32[4]{0}, f32[4]{0}, f32[4]{0}, f32[4]{0}, /*index=5*/f32[4]{0}, f32[4]{0}) all-reduce(%g0, %g1, %g2, %g3, %g4, /*index=5*/%g5, %g6), replica_groups=[2,4]<=[8], to_apply=%add
+  %cp = bf16[4,8]{1,0} collective-permute(%p0), source_target_pairs={{0,1},{1,0}}
+  ROOT %out = bf16[8,8]{1,0} add(%agd, %agd)
+}
+"""
+
+
+def test_collective_inventory_counts_and_bytes():
+    inv = collective_inventory(FAKE_HLO)
+    ops = inv["ops"]
+    # the sync all-reduce (4*8*2=64B), the tuple one (2 x 2*2*4=32B), and
+    # the fused gradient-sync tuple whose >5 elements embed /*index=N*/
+    # comments (7 x 4*4=112B) — XLA emits the DP grad all-reduce exactly
+    # like that, so dropping it would zero the tool's headline number
+    assert ops["all-reduce"] == {"count": 3, "bytes": 64 + 32 + 112}
+    # async pair counts ONCE, at the -done result (8*8*2=128B), not the
+    # -start tuple (which would double-count the operand buffer)
+    assert ops["all-gather"] == {"count": 1, "bytes": 128}
+    assert ops["collective-permute"] == {"count": 1, "bytes": 64}
+    assert inv["total_count"] == 5
+    assert inv["total_bytes"] == 64 + 32 + 112 + 128 + 64
+
+
+def test_collective_inventory_empty_on_collective_free_hlo():
+    inv = collective_inventory("ENTRY %main { ROOT %x = f32[2] parameter(0) }")
+    assert inv == {"ops": {}, "total_count": 0, "total_bytes": 0}
+
+
+def _tiny_cfg():
+    return Config(
+        trainer=TrainerConfig(batch_size=8, remat=False),
+        parallelism=ParallelismConfig(),
+        model=ModelConfig(embed_dim=64, depth=1, decoder_depth=1,
+                          num_heads=2),
+    )
+
+
+def test_plan_mesh_scaling_sweeps_and_reports_collectives():
+    rows = plan_mesh_scaling(
+        _tiny_cfg(), img=(8, 16), batch=8,
+        mesh_shapes=[{"fsdp": 2, "tensor": 2}, {"fsdp": 4}],
+        ici_gbytes_per_sec=45.0)
+    assert len(rows) == 2
+    for row in rows:
+        assert "error" not in row, row
+        coll = row["collectives"]
+        # fsdp param gathers / grad reduce-scatters and (for tp) activation
+        # all-reduces MUST appear in a sharded train step
+        assert coll["total_count"] > 0 and coll["total_bytes"] > 0
+        assert row["ici_seconds_lower_bound"] > 0
+        assert row["param_bytes_per_device"] > 0
+    # tp=2 pays activation collectives fsdp-only doesn't: strictly more ops
+    assert (rows[0]["collectives"]["total_count"]
+            > rows[1]["collectives"]["total_count"])
+
+
+def test_plan_mesh_scaling_survives_impossible_shapes():
+    rows = plan_mesh_scaling(
+        _tiny_cfg(), img=(8, 16), batch=8,
+        mesh_shapes=[{"fsdp": 512}, {"fsdp": 2}])
+    assert "error" in rows[0] and "mesh" in rows[0]
+    assert "error" not in rows[1]  # the sweep continues past failures
