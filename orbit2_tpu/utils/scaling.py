@@ -12,8 +12,10 @@ laptop instead of a pod-hours bisection.
 
 Composes with :func:`orbit2_tpu.utils.memory.plan_train_memory` (which
 does the abstract compile and memory analysis); this module adds the
-collective inventory and the sweep driver. See scripts/scaling_plan.py for
-the CLI and docs/scaling.md for recorded 1B sweeps.
+collective inventory, the sweep driver, and :func:`choose_mesh` (enumerate
+every valid shape for a device count, plan all, pick the least-traffic
+HBM-fitting one). See scripts/scaling_plan.py for the CLI and
+docs/scaling.md for recorded 1B sweeps.
 """
 
 from __future__ import annotations
@@ -126,3 +128,65 @@ def plan_mesh_scaling(cfg, *, img, batch: int,
                 coll["total_bytes"] / (ici_gbytes_per_sec * 2**30))
         rows.append(row)
     return rows
+
+
+def candidate_meshes(n_devices: int, *, batch: int, num_heads: int,
+                     max_tensor: int = 8, max_seq: int = 8,
+                     ) -> List[Dict[str, int]]:
+    """Enumerate mesh shapes with replica·fsdp·seq·tensor == ``n_devices``
+    that pass the framework's static divisibility rules: the data axes
+    (replica·fsdp·seq) divide ``batch`` and tensor divides ``num_heads``.
+    replica>1 (HSDP) is included only with fsdp>1 — replica=N,fsdp=1 is
+    plain DDP, identical traffic to fsdp=N but with replicated optimizer
+    state, never preferable on one slice."""
+    shapes: List[Dict[str, int]] = []
+    for tensor in _divisors(n_devices):
+        if tensor > max_tensor or num_heads % tensor:
+            continue
+        rest = n_devices // tensor
+        for seq in _divisors(rest):
+            if seq > max_seq:
+                continue
+            dp = rest // seq
+            for fsdp in _divisors(dp):
+                replica = dp // fsdp
+                if replica > 1 and fsdp == 1:
+                    continue
+                if batch % (replica * fsdp * seq):
+                    continue
+                shapes.append({"replica": replica, "fsdp": fsdp,
+                               "seq": seq, "tensor": tensor})
+    return shapes
+
+
+def choose_mesh(cfg, *, img, batch: int, n_devices: int,
+                in_channels: int = 7, out_channels: int = 3,
+                hbm_bytes: Optional[int] = None,
+                ici_gbytes_per_sec: Optional[float] = None,
+                ) -> Dict[str, Any]:
+    """Pick a mesh shape for ``cfg`` on ``n_devices`` chips: enumerate
+    candidates (:func:`candidate_meshes`), plan each, drop shapes that
+    error or exceed ``hbm_bytes`` per device, and return the survivor with
+    the least collective traffic per step (ties: least memory). Returns
+    ``{"chosen": row_or_None, "rows": all_rows}`` so callers can show the
+    table behind the decision. This replaces the reference's pod-hours
+    launch-and-bisect (intermediate_downscaling.py:449-476) with one
+    CPU-host sweep; confirm the winner with a real profile on hardware."""
+    m = cfg.model
+    rows = plan_mesh_scaling(
+        cfg, img=img, batch=batch,
+        mesh_shapes=candidate_meshes(n_devices, batch=batch,
+                                     num_heads=m.num_heads),
+        in_channels=in_channels, out_channels=out_channels,
+        ici_gbytes_per_sec=ici_gbytes_per_sec)
+    viable = [r for r in rows if "error" not in r]
+    if hbm_bytes is not None:
+        viable = [r for r in viable
+                  if r.get("total_bytes_per_device", 0) <= hbm_bytes]
+    viable.sort(key=lambda r: (r["collectives"]["total_bytes"],
+                               r.get("total_bytes_per_device", 0)))
+    return {"chosen": viable[0] if viable else None, "rows": rows}
+
+
+def _divisors(n: int) -> List[int]:
+    return [d for d in range(1, n + 1) if n % d == 0]

@@ -50,10 +50,17 @@ def main():
                     help="low-res TILE shape fed to the model (post-tiling)")
     ap.add_argument("--batch", type=int, default=None,
                     help="global batch (default: config trainer.batch_size)")
-    ap.add_argument("--mesh", action="append", required=True,
+    ap.add_argument("--mesh", action="append", default=[],
                     metavar="AXIS=N[,AXIS=N...]",
                     help="mesh shape to sweep; repeatable "
                          "(axes: replica fsdp tensor seq)")
+    ap.add_argument("--choose", type=int, default=None, metavar="N_DEVICES",
+                    help="instead of --mesh, enumerate every valid shape "
+                         "for N devices, plan all, and print the winner "
+                         "(least collective bytes among HBM-fitting shapes)")
+    ap.add_argument("--hbm-gb", type=float, default=None,
+                    help="per-device HBM budget for --choose (e.g. 16 for "
+                         "v5e); shapes that exceed it are dropped")
     ap.add_argument("--in-channels", type=int, default=7)
     ap.add_argument("--out-channels", type=int, default=3)
     ap.add_argument("--ici-gbps", type=float, default=None,
@@ -61,16 +68,31 @@ def main():
     args = ap.parse_args()
 
     cfg = load_config(args.config)
-    rows = plan_mesh_scaling(
-        cfg, img=tuple(args.img),
-        batch=args.batch or cfg.trainer.batch_size,
-        mesh_shapes=[parse_mesh(m) for m in args.mesh],
-        in_channels=args.in_channels, out_channels=args.out_channels,
-        ici_gbytes_per_sec=args.ici_gbps)
+    batch = args.batch or cfg.trainer.batch_size
+    if args.choose:
+        from orbit2_tpu.utils.scaling import choose_mesh
+
+        res = choose_mesh(
+            cfg, img=tuple(args.img), batch=batch, n_devices=args.choose,
+            in_channels=args.in_channels, out_channels=args.out_channels,
+            hbm_bytes=int(args.hbm_gb * 2**30) if args.hbm_gb else None,
+            ici_gbytes_per_sec=args.ici_gbps)
+        rows = res["rows"]
+    elif args.mesh:
+        rows = plan_mesh_scaling(
+            cfg, img=tuple(args.img), batch=batch,
+            mesh_shapes=[parse_mesh(m) for m in args.mesh],
+            in_channels=args.in_channels, out_channels=args.out_channels,
+            ici_gbytes_per_sec=args.ici_gbps)
+    else:
+        raise SystemExit("pass --mesh (repeatable) or --choose N_DEVICES")
     for row in rows:
         if "total_bytes_per_device" in row:
             row["gb_per_device"] = round(row["total_bytes_per_device"] / 2**30, 3)
         print(json.dumps(row))
+    if args.choose:
+        chosen = res["chosen"]
+        print(json.dumps({"chosen": chosen["mesh"] if chosen else None}))
 
 
 if __name__ == "__main__":

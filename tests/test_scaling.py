@@ -7,7 +7,9 @@ abstract AOT compile — per mesh shape, on virtual CPU devices.
 
 from orbit2_tpu.config import (Config, ModelConfig, ParallelismConfig,
                                TrainerConfig)
-from orbit2_tpu.utils.scaling import collective_inventory, plan_mesh_scaling
+from orbit2_tpu.utils.scaling import (candidate_meshes, choose_mesh,
+                                      collective_inventory,
+                                      plan_mesh_scaling)
 
 FAKE_HLO = """
 HloModule train_step
@@ -72,6 +74,33 @@ def test_plan_mesh_scaling_sweeps_and_reports_collectives():
     # tp=2 pays activation collectives fsdp-only doesn't: strictly more ops
     assert (rows[0]["collectives"]["total_count"]
             > rows[1]["collectives"]["total_count"])
+
+
+def test_candidate_meshes_respect_divisibility():
+    shapes = candidate_meshes(8, batch=8, num_heads=2)
+    assert shapes, "8 devices must admit at least fsdp=8"
+    for s in shapes:
+        assert s["replica"] * s["fsdp"] * s["seq"] * s["tensor"] == 8
+        assert 8 % (s["replica"] * s["fsdp"] * s["seq"]) == 0  # batch
+        assert 2 % s["tensor"] == 0                            # heads
+        # plain DDP (replica>1, fsdp=1) is dominated by fsdp and excluded
+        assert not (s["replica"] > 1 and s["fsdp"] == 1)
+    assert {"replica": 1, "fsdp": 8, "seq": 1, "tensor": 1} in shapes
+    # tensor=4 would not divide num_heads=2
+    assert all(s["tensor"] <= 2 for s in shapes)
+
+
+def test_choose_mesh_picks_min_traffic_fitting_shape():
+    res = choose_mesh(_tiny_cfg(), img=(8, 16), batch=8, n_devices=4)
+    chosen, rows = res["chosen"], res["rows"]
+    assert chosen is not None and "error" not in chosen
+    viable = [r for r in rows if "error" not in r]
+    assert chosen["collectives"]["total_bytes"] == min(
+        r["collectives"]["total_bytes"] for r in viable)
+    # an impossible HBM budget leaves no survivor instead of a bad pick
+    res2 = choose_mesh(_tiny_cfg(), img=(8, 16), batch=8, n_devices=4,
+                       hbm_bytes=1)
+    assert res2["chosen"] is None and res2["rows"]
 
 
 def test_plan_mesh_scaling_survives_impossible_shapes():
