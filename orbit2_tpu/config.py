@@ -107,6 +107,12 @@ class ParallelismConfig:
     # attention dropout), "ring" (ppermute k/v chunks, O(N/seq) K/V memory),
     # or "ulysses" (all-to-all tokens<->heads; needs heads % seq == 0)
     seq_impl: str = "gather"
+    # pipeline parallelism over the transformer trunk (parallel/pipeline.py;
+    # the reference has no PP — SURVEY §2.7). stage is the outermost mesh
+    # axis; model.depth must be divisible by it.
+    pipeline: int = 1
+    # GPipe microbatches per step; 0 -> = pipeline. Must divide batch_size.
+    pipeline_microbatches: int = 0
 
     @property
     def data_par(self) -> int:
@@ -114,16 +120,25 @@ class ParallelismConfig:
 
     @property
     def world_size(self) -> int:
-        return self.fsdp * self.simple_ddp * self.tensor_par * self.seq_par
+        return (self.fsdp * self.simple_ddp * self.tensor_par *
+                self.seq_par * self.pipeline)
 
     def validate(self):
-        for name in ("fsdp", "simple_ddp", "tensor_par", "seq_par"):
+        for name in ("fsdp", "simple_ddp", "tensor_par", "seq_par",
+                     "pipeline"):
             if getattr(self, name) < 1:
                 raise ConfigError(f"parallelism.{name} must be >= 1")
         if self.seq_impl not in ("gather", "ring", "ulysses"):
             raise ConfigError(
                 "parallelism.seq_impl must be gather|ring|ulysses, "
                 f"got {self.seq_impl}")
+        if self.pipeline_microbatches < 0:
+            raise ConfigError("parallelism.pipeline_microbatches must be >= 0")
+        if self.pipeline > 1 and (self.tensor_par > 1 or self.seq_par > 1):
+            raise ConfigError(
+                "parallelism.pipeline composes with fsdp/simple_ddp only; "
+                "tensor_par/seq_par inside a pipelined trunk is future work "
+                "(parallel/pipeline.py v1 scope)")
 
 
 @dataclass
@@ -243,6 +258,21 @@ class Config:
         if self.model.num_heads % self.parallelism.tensor_par != 0:
             # reference asserts the same (intermediate_downscaling.py:168)
             raise ConfigError("num_heads must be divisible by tensor_par")
+        if self.parallelism.pipeline > 1:
+            if self.model.depth % self.parallelism.pipeline != 0:
+                raise ConfigError(
+                    f"model.depth ({self.model.depth}) must be divisible by "
+                    f"parallelism.pipeline ({self.parallelism.pipeline})")
+            mb = (self.parallelism.pipeline_microbatches
+                  or self.parallelism.pipeline)
+            if self.trainer.batch_size % mb != 0:
+                raise ConfigError(
+                    f"trainer.batch_size ({self.trainer.batch_size}) must be "
+                    f"divisible by pipeline microbatches ({mb})")
+            if self.model.preset != "res_slimvit":
+                raise ConfigError(
+                    "parallelism.pipeline > 1 is only supported for the "
+                    "res_slimvit trunk")
         return self
 
 

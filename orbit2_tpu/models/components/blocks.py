@@ -35,15 +35,24 @@ class DropPath(nn.Module):
     rate: float = 0.0
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, rate=None):
         # Stochastic depth draws from its OWN rng stream: a caller that
         # supplies only {"dropout": key} (MC-dropout ensembles) gets inert
         # DropPath, matching the reference's enable_dropout which flips ONLY
         # nn.Dropout modules to train mode (utils/mc_dropout.py:4-7).
-        if self.rate == 0.0 or deterministic or not self.has_rng("drop_path"):
+        #
+        # `rate` overrides self.rate at call time and may be a TRACED scalar
+        # — the pipelined trunk (parallel/pipeline.py) shares one Block
+        # template across stages and feeds each block its per-depth
+        # stochastic-depth rate as data.
+        if deterministic or not self.has_rng("drop_path"):
             return x
+        if rate is None:
+            if self.rate == 0.0:
+                return x
+            rate = self.rate
         rng = self.make_rng("drop_path")
-        keep = 1.0 - self.rate
+        keep = 1.0 - rate
         shape = (x.shape[0],) + (1,) * (x.ndim - 1)
         mask = jax.random.bernoulli(rng, keep, shape)
         return jnp.where(mask, x / keep, jnp.zeros_like(x))
@@ -353,7 +362,9 @@ class Block(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, drop_path_rate=None):
+        # drop_path_rate: optional call-time (possibly traced) override of
+        # the static drop_path — see DropPath.__call__
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype, name="norm1")(x)
         y = Attention(
             dim=self.dim, num_heads=self.num_heads, qkv_bias=self.qkv_bias,
@@ -364,7 +375,8 @@ class Block(nn.Module):
         )(y, deterministic)
         if self.init_values:
             y = LayerScale(self.dim, self.init_values, self.param_dtype, name="ls1")(y)
-        x = x + DropPath(self.drop_path, name="drop_path1")(y, deterministic)
+        x = x + DropPath(self.drop_path, name="drop_path1")(
+            y, deterministic, drop_path_rate)
 
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype, name="norm2")(x)
         y = Mlp(
@@ -375,5 +387,6 @@ class Block(nn.Module):
         )(y, deterministic)
         if self.init_values:
             y = LayerScale(self.dim, self.init_values, self.param_dtype, name="ls2")(y)
-        x = x + DropPath(self.drop_path, name="drop_path2")(y, deterministic)
+        x = x + DropPath(self.drop_path, name="drop_path2")(
+            y, deterministic, drop_path_rate)
         return x

@@ -97,6 +97,17 @@ class ResSlimViT(nn.Module):
     # tokens stay sharded through LN/MLP/decoder, attention's q·k^T induces
     # the all-gather of k/v over seq that Ulysses-style SP performs manually.
     seq_shard: bool = False
+    # pipeline parallelism over the trunk (parallel/pipeline.py): the depth
+    # blocks are split into `pipeline_stages` groups over the mesh's "stage"
+    # axis with a GPipe microbatch schedule. The reference has no PP (SURVEY
+    # §2.7). Block params live STACKED under "blocks_stacked" ([depth, ...]
+    # leading dim) instead of per-block blocks_{i} subtrees —
+    # parallel/pipeline.py stack/unstack convert between the two layouts for
+    # checkpoint interop. With no stage-capable mesh in context the stacked
+    # blocks run sequentially (identical math), so CPU tests and init work
+    # unchanged.
+    pipeline_stages: int = 1
+    pipeline_microbatches: int = 0  # 0 -> = pipeline_stages
     # base_img_size freezes pos_embed's param shape across dataset phases
     # (reference keeps the construction-time shape and resizes on the fly)
     base_img_size: Optional[Tuple[int, int]] = None
@@ -279,25 +290,93 @@ class ResSlimViT(nn.Module):
 
         # transformer trunk (reference :86-103, :291-292)
         dpr = np.linspace(0, self.drop_path, self.depth)
-        block_cls = Block
-        if self.remat:
-            policy = None
-            if self.remat_policy == "dots":
-                policy = jax.checkpoint_policies.checkpoint_dots
-            block_cls = nn.remat(Block, static_argnums=(2,), policy=policy)
-        tokens = self._seq_constraint(tokens)
-        for i in range(self.depth):
-            blk = block_cls(
-                dim=D, num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
-                qkv_bias=True, proj_drop=self.drop_rate, attn_drop=self.drop_rate,
-                drop_path=float(dpr[i]), attention_impl=self.attention_impl,
-                gelu_tanh=self.gelu_approx == "tanh", quant=self.quant,
-                dtype=self.dtype, param_dtype=self.param_dtype, name=f"blocks_{i}",
-            )
-            tokens = self._seq_constraint(blk(tokens, deterministic))
+        if self.pipeline_stages > 1:
+            tokens = self._pipelined_trunk(tokens, deterministic, dpr)
+        else:
+            block_cls = Block
+            if self.remat:
+                policy = None
+                if self.remat_policy == "dots":
+                    policy = jax.checkpoint_policies.checkpoint_dots
+                block_cls = nn.remat(Block, static_argnums=(2,), policy=policy)
+            tokens = self._seq_constraint(tokens)
+            for i in range(self.depth):
+                blk = block_cls(
+                    dim=D, num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
+                    qkv_bias=True, proj_drop=self.drop_rate, attn_drop=self.drop_rate,
+                    drop_path=float(dpr[i]), attention_impl=self.attention_impl,
+                    gelu_tanh=self.gelu_approx == "tanh", quant=self.quant,
+                    dtype=self.dtype, param_dtype=self.param_dtype, name=f"blocks_{i}",
+                )
+                tokens = self._seq_constraint(blk(tokens, deterministic))
         tokens = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
                               param_dtype=self.param_dtype, name="norm")(tokens)
         return tokens
+
+    def _pipelined_trunk(self, tokens, deterministic, dpr):
+        """Trunk via GPipe pipeline parallelism (parallel/pipeline.py).
+
+        One Block template is shared across all depth positions; its params
+        are created STACKED ([depth, ...]) under "blocks_stacked" and sharded
+        P("stage") so each pipeline stage holds depth/stages blocks. Per-depth
+        stochastic-depth rates are fed as data (DropPath call-time rate).
+        Falls back to a sequential sweep over the stacked params — identical
+        math — when no stage-capable mesh is in context (init, CPU tests,
+        single-chip eval)."""
+        from orbit2_tpu.parallel import pipeline as pp
+
+        D = self.embed_dim
+        S = self.pipeline_stages
+        if self.depth % S:
+            raise ValueError(
+                f"depth {self.depth} not divisible by pipeline_stages {S}")
+        if self.seq_shard:
+            raise ValueError("pipeline_stages > 1 is incompatible with "
+                             "seq_shard (v1 scope; see parallel/pipeline.py)")
+        template = Block(
+            dim=D, num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
+            qkv_bias=True, proj_drop=self.drop_rate, attn_drop=self.drop_rate,
+            drop_path=0.0, attention_impl=self.attention_impl,
+            gelu_tanh=self.gelu_approx == "tanh", quant=self.quant,
+            dtype=self.dtype, param_dtype=self.param_dtype, parent=None,
+        )
+
+        def init_stacked(rng):
+            # param shapes are impl-independent; init with the cheap naive
+            # attention on a tiny token count
+            t_init = template.clone(attention_impl="naive", parent=None)
+            dummy = jnp.zeros((1, 8, D), self.dtype)
+            trees = [
+                t_init.init({"params": k}, dummy, True)["params"]
+                for k in jax.random.split(rng, self.depth)
+            ]
+            return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+
+        stacked = self.param(pp.STACKED_KEY, init_stacked)
+
+        rngs = {}
+        if not deterministic:
+            if self.has_rng("dropout"):
+                rngs["dropout"] = self.make_rng("dropout")
+            if self.has_rng("drop_path"):
+                rngs["drop_path"] = self.make_rng("drop_path")
+
+        def block_fn(p, x, rate, r):
+            return template.apply({"params": p}, x, deterministic, rate,
+                                  rngs=r or {})
+
+        if self.remat:
+            policy = (jax.checkpoint_policies.checkpoint_dots
+                      if self.remat_policy == "dots" else None)
+            block_fn = jax.checkpoint(block_fn, policy=policy)
+
+        dpr_arr = jnp.asarray(dpr, jnp.float32)
+        if pp.stage_mesh_size() == S:
+            return pp.pipeline_blocks(
+                block_fn, stacked, tokens, dpr_arr, stages=S,
+                microbatches=self.pipeline_microbatches, rngs=rngs)
+        return pp.apply_stacked_sequential(
+            block_fn, stacked, tokens, dpr_arr, rngs=rngs)
 
     def _unpatchify(self, y, H, W):
         """[B, L, out*(mag*p)^2] -> [B, out, H*mag, W*mag].

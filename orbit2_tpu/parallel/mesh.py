@@ -9,6 +9,10 @@ examples/intermediate_downscaling.py:161-262). Axis mapping:
   tensor   — Megatron-style tensor parallelism
   seq      — sequence (token) parallelism; the reference stubs this axis
              (assert at intermediate_downscaling.py:165), here it is real.
+  stage    — pipeline parallelism (parallel/pipeline.py); the reference has
+             none (SURVEY §2.7 PP: absent). Outermost axis so stage->stage+1
+             activation hops ride DCN between slices while fsdp/tensor
+             collectives stay on ICI.
 
 The rank layout matches the reference's arithmetic: tensor is the
 fastest-varying axis, then fsdp, then replica (HYBRID_SHARD shards within a
@@ -28,6 +32,7 @@ AXIS_REPLICA = "replica"
 AXIS_FSDP = "fsdp"
 AXIS_TENSOR = "tensor"
 AXIS_SEQ = "seq"
+AXIS_STAGE = "stage"
 
 # activations: batch is sharded over both data axes
 BATCH_AXES = (AXIS_REPLICA, AXIS_FSDP)
@@ -38,16 +43,19 @@ def make_mesh(
     fsdp: int = 1,
     tensor: int = 1,
     seq: int = 1,
+    stage: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
-    want = replica * fsdp * tensor * seq
+    want = replica * fsdp * tensor * seq * stage
     if want > len(devices):
         raise ValueError(
-            f"mesh {replica}x{fsdp}x{tensor}x{seq}={want} > {len(devices)} devices"
+            f"mesh {stage}x{replica}x{fsdp}x{seq}x{tensor}={want} > "
+            f"{len(devices)} devices"
         )
-    arr = np.asarray(devices[:want]).reshape(replica, fsdp, seq, tensor)
-    return Mesh(arr, (AXIS_REPLICA, AXIS_FSDP, AXIS_SEQ, AXIS_TENSOR))
+    arr = np.asarray(devices[:want]).reshape(stage, replica, fsdp, seq, tensor)
+    return Mesh(arr, (AXIS_STAGE, AXIS_REPLICA, AXIS_FSDP, AXIS_SEQ,
+                      AXIS_TENSOR))
 
 
 def mesh_from_config(parallelism, devices=None) -> Mesh:
@@ -56,6 +64,7 @@ def mesh_from_config(parallelism, devices=None) -> Mesh:
         fsdp=parallelism.fsdp,
         tensor=parallelism.tensor_par,
         seq=parallelism.seq_par,
+        stage=getattr(parallelism, "pipeline", 1),
         devices=devices,
     )
 

@@ -30,10 +30,15 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from orbit2_tpu.parallel.mesh import AXIS_FSDP, AXIS_TENSOR
+from orbit2_tpu.parallel.mesh import AXIS_FSDP, AXIS_STAGE, AXIS_TENSOR
 
 # (path regex, spec builder given ndim)
 _RULES: List[Tuple[str, Any]] = [
+    # pipelined trunk: stacked block params [depth, ...] — each stage holds
+    # depth/stages blocks (parallel/pipeline.py). Must come first: the inner
+    # paths (attn/qkv etc.) would otherwise match the TP rules below with
+    # specs misaligned by the leading depth dim.
+    (r"blocks_stacked/", P(AXIS_STAGE)),
     # tensor-parallel column splits (output dim on tensor)
     (r"(attn/qkv|mlp/fc1)/kernel$", P(AXIS_FSDP, AXIS_TENSOR)),
     (r"(attn/qkv|mlp/fc1)/bias$", P(AXIS_TENSOR)),

@@ -129,6 +129,25 @@ def load_pretrained_params(params, pretrained, patch_size: int,
     import jax.tree_util as jtu
 
     from orbit2_tpu.ops.pos_embed import interpolate_pos_embed_checkpoint
+    from orbit2_tpu.parallel.pipeline import (
+        STACKED_KEY, stack_block_params, unstack_block_params)
+
+    # Layout interop with the pipelined trunk (parallel/pipeline.py): a
+    # pipelined model stores blocks STACKED under "blocks_stacked"; a
+    # vanilla model stores per-block blocks_{i} subtrees. Convert the
+    # SOURCE to the target's layout so fine-tuning across the two works in
+    # both directions (depth mismatches then fall out as ordinary
+    # shape/missing drops below).
+    try:
+        tgt_keys = set(params)
+        src_keys = set(pretrained)
+        if STACKED_KEY in tgt_keys and STACKED_KEY not in src_keys and any(
+                k.startswith("blocks_") for k in src_keys):
+            pretrained = stack_block_params(pretrained)
+        elif STACKED_KEY in src_keys and STACKED_KEY not in tgt_keys:
+            pretrained = unstack_block_params(pretrained)
+    except (TypeError, ValueError):
+        pass  # non-dict trees or irregular layouts: fall through unconverted
 
     flat_t, treedef = jtu.tree_flatten_with_path(params)
     tgt = {tuple(str(getattr(k, "key", k)) for k in path): leaf

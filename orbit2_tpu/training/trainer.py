@@ -149,6 +149,8 @@ class Trainer:
             data_type=c.trainer.data_type,
             remat=c.trainer.remat,
             remat_policy=c.trainer.remat_policy,
+            pipeline_stages=c.parallelism.pipeline,
+            pipeline_microbatches=c.parallelism.pipeline_microbatches,
         )
         (model, train_loss, val_losses, test_losses, _, val_transforms,
          test_transforms) = loader(

@@ -206,6 +206,8 @@ def load_architecture(
     data_type="float32",
     remat=False,
     remat_policy="full",
+    pipeline_stages=1,
+    pipeline_microbatches=0,
     **_ignored,
 ):
     """reference loaders.py:259-387. tensor_par_size/group args are gone: the
@@ -308,6 +310,8 @@ def load_architecture(
                 gelu_approx=gelu_approx,
                 remat=remat,
                 remat_policy=remat_policy,
+                pipeline_stages=pipeline_stages,
+                pipeline_microbatches=pipeline_microbatches,
                 dtype=dtype,
             )
         raise_not_impl()
