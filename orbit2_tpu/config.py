@@ -134,11 +134,11 @@ class ParallelismConfig:
                 f"got {self.seq_impl}")
         if self.pipeline_microbatches < 0:
             raise ConfigError("parallelism.pipeline_microbatches must be >= 0")
-        if self.pipeline > 1 and (self.tensor_par > 1 or self.seq_par > 1):
+        if self.pipeline > 1 and self.seq_par > 1:
             raise ConfigError(
-                "parallelism.pipeline composes with fsdp/simple_ddp only; "
-                "tensor_par/seq_par inside a pipelined trunk is future work "
-                "(parallel/pipeline.py v1 scope)")
+                "parallelism.pipeline composes with fsdp/simple_ddp/"
+                "tensor_par; seq_par inside a pipelined trunk is future "
+                "work (parallel/pipeline.py scope)")
 
 
 @dataclass

@@ -29,10 +29,11 @@ TPU-first mechanics:
     collectives stay on ICI within a slice — the standard multi-slice TPU
     layout.
 
-v1 scope: pipeline composes with replica/fsdp (auto axes). tensor_par and
-seq_par inside a pipelined trunk are rejected at config validation
-(config.py) — combining manual-stage with TP sharded stacked weights is
-future work.
+Scope: pipeline composes with replica/fsdp/tensor (all auto axes — the
+stacked params carry the Megatron column/row specs behind the leading
+stage dim, parallel/sharding.py::spec_for). seq_par inside a pipelined
+trunk is rejected at config validation (config.py): the trunk-level token
+constraints live outside the pipeline body.
 """
 
 from __future__ import annotations

@@ -34,11 +34,6 @@ from orbit2_tpu.parallel.mesh import AXIS_FSDP, AXIS_STAGE, AXIS_TENSOR
 
 # (path regex, spec builder given ndim)
 _RULES: List[Tuple[str, Any]] = [
-    # pipelined trunk: stacked block params [depth, ...] — each stage holds
-    # depth/stages blocks (parallel/pipeline.py). Must come first: the inner
-    # paths (attn/qkv etc.) would otherwise match the TP rules below with
-    # specs misaligned by the leading depth dim.
-    (r"blocks_stacked/", P(AXIS_STAGE)),
     # tensor-parallel column splits (output dim on tensor)
     (r"(attn/qkv|mlp/fc1)/kernel$", P(AXIS_FSDP, AXIS_TENSOR)),
     (r"(attn/qkv|mlp/fc1)/bias$", P(AXIS_TENSOR)),
@@ -71,6 +66,16 @@ def _fit(spec: P, shape: Tuple[int, ...], mesh: Mesh) -> P:
 
 
 def spec_for(path: str, shape: Tuple[int, ...], mesh: Mesh) -> P:
+    # Pipelined trunk: stacked block params [depth, ...] shard the leading
+    # depth dim over `stage` (each stage holds depth/stages blocks —
+    # parallel/pipeline.py) AND keep the per-block TP/FSDP spec on the
+    # trailing dims: the pipeline body's shard_map is manual ONLY over
+    # stage, so the tensor/fsdp axes stay under GSPMD auto-sharding and the
+    # usual Megatron column/row splits apply unchanged behind the stack.
+    if "blocks_stacked/" in path:
+        inner_path = path.split("blocks_stacked/", 1)[1]
+        inner = spec_for(inner_path, shape[1:], mesh)
+        return _fit(P(AXIS_STAGE, *tuple(inner)), shape, mesh)
     for pattern, spec in _RULES:
         if re.search(pattern, path):
             return _fit(spec, shape, mesh)

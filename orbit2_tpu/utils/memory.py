@@ -117,6 +117,11 @@ def plan_train_memory(cfg, *, img, in_channels: int, out_channels: int,
         attention_impl="xla" if m.attention_impl == "auto" else m.attention_impl,
         gelu_approx=m.gelu_approx, remat=c.trainer.remat,
         remat_policy=c.trainer.remat_policy,
+        # pipeline stages follow the MESH's stage axis (not just the config)
+        # so plan_mesh_scaling can sweep pipelined shapes against the same
+        # config (parallel/pipeline.py)
+        pipeline_stages=int(dict(mesh.shape).get("stage", 1)),
+        pipeline_microbatches=c.parallelism.pipeline_microbatches,
         dtype=jnp.bfloat16 if c.trainer.data_type == "bfloat16" else jnp.float32,
     )
     h, w = img

@@ -108,7 +108,7 @@ def plan_mesh_scaling(cfg, *, img, batch: int,
 
     rows: List[Dict[str, Any]] = []
     for shape in mesh_shapes:
-        spec = {"replica": 1, "fsdp": 1, "tensor": 1, "seq": 1}
+        spec = {"stage": 1, "replica": 1, "fsdp": 1, "tensor": 1, "seq": 1}
         spec.update(shape)
         row: Dict[str, Any] = {"mesh": dict(spec)}
         try:
@@ -132,30 +132,43 @@ def plan_mesh_scaling(cfg, *, img, batch: int,
 
 def candidate_meshes(n_devices: int, *, batch: int, num_heads: int,
                      max_tensor: int = 8, max_seq: int = 8,
+                     depth: Optional[int] = None, max_stage: int = 1,
                      ) -> List[Dict[str, int]]:
-    """Enumerate mesh shapes with replica·fsdp·seq·tensor == ``n_devices``
-    that pass the framework's static divisibility rules: the data axes
-    (replica·fsdp·seq) divide ``batch`` and tensor divides ``num_heads``.
+    """Enumerate mesh shapes with stage·replica·fsdp·seq·tensor ==
+    ``n_devices`` that pass the framework's static divisibility rules: the
+    data axes (replica·fsdp·seq) divide ``batch``, tensor divides
+    ``num_heads``, and — when pipeline shapes are requested via
+    ``max_stage > 1`` — stage divides ``depth`` and the default microbatch
+    count (= stage) divides ``batch``. seq and stage are mutually
+    exclusive (config.py rejects seq_par inside a pipelined trunk).
     replica>1 (HSDP) is included only with fsdp>1 — replica=N,fsdp=1 is
     plain DDP, identical traffic to fsdp=N but with replicated optimizer
     state, never preferable on one slice."""
     shapes: List[Dict[str, int]] = []
-    for tensor in _divisors(n_devices):
-        if tensor > max_tensor or num_heads % tensor:
+    for stage in _divisors(n_devices):
+        if stage > max_stage:
             continue
-        rest = n_devices // tensor
-        for seq in _divisors(rest):
-            if seq > max_seq:
+        if stage > 1 and (depth is None or depth % stage or batch % stage):
+            continue
+        for tensor in _divisors(n_devices // stage):
+            if tensor > max_tensor or num_heads % tensor:
                 continue
-            dp = rest // seq
-            for fsdp in _divisors(dp):
-                replica = dp // fsdp
-                if replica > 1 and fsdp == 1:
+            rest = n_devices // stage // tensor
+            for seq in _divisors(rest):
+                if seq > max_seq or (stage > 1 and seq > 1):
                     continue
-                if batch % (replica * fsdp * seq):
-                    continue
-                shapes.append({"replica": replica, "fsdp": fsdp,
-                               "seq": seq, "tensor": tensor})
+                dp = rest // seq
+                for fsdp in _divisors(dp):
+                    replica = dp // fsdp
+                    if replica > 1 and fsdp == 1:
+                        continue
+                    if batch % (replica * fsdp * seq):
+                        continue
+                    shape = {"replica": replica, "fsdp": fsdp,
+                             "seq": seq, "tensor": tensor}
+                    if stage > 1:
+                        shape["stage"] = stage
+                    shapes.append(shape)
     return shapes
 
 
@@ -163,6 +176,7 @@ def choose_mesh(cfg, *, img, batch: int, n_devices: int,
                 in_channels: int = 7, out_channels: int = 3,
                 hbm_bytes: Optional[int] = None,
                 ici_gbytes_per_sec: Optional[float] = None,
+                max_stage: int = 1,
                 ) -> Dict[str, Any]:
     """Pick a mesh shape for ``cfg`` on ``n_devices`` chips: enumerate
     candidates (:func:`candidate_meshes`), plan each, drop shapes that
@@ -176,7 +190,8 @@ def choose_mesh(cfg, *, img, batch: int, n_devices: int,
     rows = plan_mesh_scaling(
         cfg, img=img, batch=batch,
         mesh_shapes=candidate_meshes(n_devices, batch=batch,
-                                     num_heads=m.num_heads),
+                                     num_heads=m.num_heads, depth=m.depth,
+                                     max_stage=max_stage),
         in_channels=in_channels, out_channels=out_channels,
         ici_gbytes_per_sec=ici_gbytes_per_sec)
     viable = [r for r in rows if "error" not in r]

@@ -36,7 +36,7 @@ def parse_mesh(spec: str):
     out = {}
     for part in spec.split(","):
         k, _, v = part.partition("=")
-        if k not in ("replica", "fsdp", "tensor", "seq"):
+        if k not in ("stage", "replica", "fsdp", "tensor", "seq"):
             raise SystemExit(f"unknown mesh axis {k!r} in --mesh {spec!r}")
         out[k] = int(v)
     return out
@@ -53,7 +53,10 @@ def main():
     ap.add_argument("--mesh", action="append", default=[],
                     metavar="AXIS=N[,AXIS=N...]",
                     help="mesh shape to sweep; repeatable "
-                         "(axes: replica fsdp tensor seq)")
+                         "(axes: stage replica fsdp tensor seq)")
+    ap.add_argument("--max-stage", type=int, default=1,
+                    help="with --choose: also enumerate pipeline-parallel "
+                         "shapes up to this many stages (default 1 = none)")
     ap.add_argument("--choose", type=int, default=None, metavar="N_DEVICES",
                     help="instead of --mesh, enumerate every valid shape "
                          "for N devices, plan all, and print the winner "
@@ -76,7 +79,7 @@ def main():
             cfg, img=tuple(args.img), batch=batch, n_devices=args.choose,
             in_channels=args.in_channels, out_channels=args.out_channels,
             hbm_bytes=int(args.hbm_gb * 2**30) if args.hbm_gb else None,
-            ici_gbytes_per_sec=args.ici_gbps)
+            ici_gbytes_per_sec=args.ici_gbps, max_stage=args.max_stage)
         rows = res["rows"]
     elif args.mesh:
         rows = plan_mesh_scaling(

@@ -81,18 +81,20 @@ def test_stack_rejects_holes():
 
 
 def test_stacked_param_specs_stage_sharded():
-    mesh = make_mesh(stage=2, fsdp=2)
+    mesh = make_mesh(stage=2, fsdp=2, tensor=2)
     m = tiny_model(pipeline_stages=2)
     params = m.init({"params": jax.random.PRNGKey(0)}, _x(2), DEFAULT_VARS,
                     OUT_VARS, deterministic=True)["params"]
     specs = param_specs(params, mesh)
 
-    def stage_only(spec):
-        return tuple(spec)[0] == "stage" and all(
-            a is None for a in tuple(spec)[1:])
-
-    assert stage_only(specs["blocks_stacked"]["attn"]["qkv"]["kernel"])
-    assert stage_only(specs["blocks_stacked"]["norm1"]["scale"])
+    # stage leads; the per-block Megatron column/row splits follow behind
+    # the stack (PP composes with TP via GSPMD auto axes)
+    qkv = tuple(specs["blocks_stacked"]["attn"]["qkv"]["kernel"])
+    assert qkv[0] == "stage" and qkv[1:] == ("fsdp", "tensor")
+    proj = tuple(specs["blocks_stacked"]["attn"]["proj"]["kernel"])
+    assert proj[0] == "stage" and proj[1:] == ("tensor", "fsdp")
+    norm = tuple(specs["blocks_stacked"]["norm1"]["scale"])
+    assert norm[0] == "stage" and all(a is None for a in norm[1:])
 
 
 def _vanilla_and_pipelined(depth=4, stages=2, **kw):
@@ -161,6 +163,27 @@ def test_pipelined_microbatches_more_than_stages():
                                rtol=2e-5, atol=2e-5)
 
 
+def test_pipelined_forward_matches_vanilla_with_tensor_par():
+    """PP x TP: stage=2 x fsdp=2 x tensor=2 — the stacked params carry the
+    Megatron column/row specs behind the stage dim and the pipelined
+    forward still equals the vanilla single-device model."""
+    mv, pv, mp, pp = _vanilla_and_pipelined()
+    x = _x(8)
+    ref = mv.apply({"params": pv}, x, DEFAULT_VARS, OUT_VARS,
+                   deterministic=True)
+    mesh = make_mesh(stage=2, fsdp=2, tensor=2)
+    with mesh:
+        sp = shard_params(pp, mesh)
+        qkv_shard = sp["blocks_stacked"]["attn"]["qkv"]["kernel"].sharding
+        assert tuple(qkv_shard.spec) == ("stage", "fsdp", "tensor")
+        xs = jax.device_put(x, batch_sharding(mesh))
+        out = jax.jit(lambda p, x: mp.apply(
+            {"params": p}, x, DEFAULT_VARS, OUT_VARS, deterministic=True)
+        )(sp, xs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_pipelined_grads_match_vanilla():
     mv, pv, mp, pp = _vanilla_and_pipelined()
     x = _x(4)
@@ -178,7 +201,9 @@ def test_pipelined_grads_match_vanilla():
         return jnp.mean((out - y) ** 2)
 
     g_ref = jax.grad(loss_v)(pv)
-    mesh = make_mesh(stage=2, fsdp=2)
+    # tensor=2 in the mesh: TP backward (row/column all-reduces behind the
+    # stacked stage dim) must reproduce the single-device grads too
+    mesh = make_mesh(stage=2, fsdp=2, tensor=2)
     with mesh:
         sp = shard_params(pp, mesh)
         g_pp = jax.jit(jax.grad(loss_p))(sp)
@@ -270,10 +295,14 @@ def test_pipeline_config_validation():
 
     cfg = load_config({**base, "parallelism": dict(pipeline=2)})
     assert cfg.parallelism.pipeline == 2
+    # PP x TP is supported (stacked params keep the Megatron specs)
+    cfg_tp = load_config({**base,
+                          "parallelism": dict(pipeline=2, tensor_par=2)})
+    assert cfg_tp.parallelism.world_size == 4
 
-    with pytest.raises(ConfigError, match="tensor_par/seq_par"):
+    with pytest.raises(ConfigError, match="seq_par"):
         load_config({**base,
-                     "parallelism": dict(pipeline=2, tensor_par=2)})
+                     "parallelism": dict(pipeline=2, seq_par=2)})
     with pytest.raises(ConfigError, match="divisible by"):
         load_config({**base, "parallelism": dict(pipeline=3)})
     bad_bs = dict(base)

@@ -90,6 +90,42 @@ def test_candidate_meshes_respect_divisibility():
     assert all(s["tensor"] <= 2 for s in shapes)
 
 
+def test_candidate_meshes_enumerate_pipeline_stages():
+    shapes = candidate_meshes(8, batch=8, num_heads=2, depth=4, max_stage=4)
+    staged = [s for s in shapes if s.get("stage", 1) > 1]
+    assert staged, "max_stage=4 with depth=4 must admit pipelined shapes"
+    for s in staged:
+        assert s["stage"] * s["replica"] * s["fsdp"] * s["seq"] \
+            * s["tensor"] == 8
+        assert 4 % s["stage"] == 0   # depth divisibility
+        assert 8 % s["stage"] == 0   # default microbatches (=stage) | batch
+        assert s["seq"] == 1         # seq inside a pipelined trunk rejected
+    # without max_stage (default 1) no pipelined shapes appear
+    assert all("stage" not in s
+               for s in candidate_meshes(8, batch=8, num_heads=2, depth=4))
+    # depth=3 kills stage=2/4 even when requested
+    assert all(s.get("stage", 1) == 1
+               for s in candidate_meshes(8, batch=8, num_heads=2, depth=3,
+                                         max_stage=4))
+
+
+def test_plan_mesh_scaling_plans_pipelined_shape():
+    """A stage=2 mesh plans through the pipelined trunk: ppermute activation
+    hops show up as collective-permute next to the fsdp gathers."""
+    import dataclasses
+
+    cfg = _tiny_cfg()
+    cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+        cfg.model, depth=2))
+    rows = plan_mesh_scaling(cfg, img=(8, 16), batch=8,
+                             mesh_shapes=[{"stage": 2, "fsdp": 2}])
+    row = rows[0]
+    assert "error" not in row, row
+    assert row["mesh"]["stage"] == 2
+    assert "collective-permute" in row["collectives"]["ops"]
+    assert row["param_bytes_per_device"] > 0
+
+
 def test_choose_mesh_picks_min_traffic_fitting_shape():
     res = choose_mesh(_tiny_cfg(), img=(8, 16), batch=8, n_devices=4)
     chosen, rows = res["chosen"], res["rows"]
