@@ -113,6 +113,9 @@ class ParallelismConfig:
     pipeline: int = 1
     # GPipe microbatches per step; 0 -> = pipeline. Must divide batch_size.
     pipeline_microbatches: int = 0
+    # expert parallelism for MoE trunks (models/components/moe.py; needs
+    # model.moe_experts > 0 and moe_experts % expert_par == 0)
+    expert_par: int = 1
 
     @property
     def data_par(self) -> int:
@@ -121,11 +124,11 @@ class ParallelismConfig:
     @property
     def world_size(self) -> int:
         return (self.fsdp * self.simple_ddp * self.tensor_par *
-                self.seq_par * self.pipeline)
+                self.seq_par * self.pipeline * self.expert_par)
 
     def validate(self):
         for name in ("fsdp", "simple_ddp", "tensor_par", "seq_par",
-                     "pipeline"):
+                     "pipeline", "expert_par"):
             if getattr(self, name) < 1:
                 raise ConfigError(f"parallelism.{name} must be >= 1")
         if self.seq_impl not in ("gather", "ring", "ulysses"):
@@ -187,6 +190,15 @@ class ModelConfig:
     # numerics, default) or "tanh" (approximation; measured -4.5% trunk
     # step time at 117M, scripts/bench_r4_fusion.py)
     gelu_approx: str = "exact"
+    # Mixture-of-Experts trunk (models/components/moe.py; reference has no
+    # MoE — this is the `ep` parallelism slot). moe_experts > 0 swaps the
+    # dense MLP for a MoE one in every moe_every-th Block; the Switch
+    # load-balance aux loss is weighted by moe_aux_weight in training.
+    moe_experts: int = 0
+    moe_every: int = 2
+    moe_capacity_factor: float = 1.25
+    moe_top_k: int = 1
+    moe_aux_weight: float = 0.01
 
     def validate(self):
         if self.embed_dim % self.num_heads != 0:
@@ -195,6 +207,15 @@ class ModelConfig:
             raise ConfigError(f"unknown attention_impl {self.attention_impl}")
         if self.gelu_approx not in ("exact", "tanh"):
             raise ConfigError(f"unknown gelu_approx {self.gelu_approx}")
+        if self.moe_experts < 0:
+            raise ConfigError("model.moe_experts must be >= 0")
+        if self.moe_experts:
+            if self.moe_every < 1:
+                raise ConfigError("model.moe_every must be >= 1")
+            if self.moe_top_k not in (1, 2):
+                raise ConfigError("model.moe_top_k must be 1 or 2")
+            if self.moe_capacity_factor <= 0:
+                raise ConfigError("model.moe_capacity_factor must be > 0")
 
 
 @dataclass
@@ -273,6 +294,24 @@ class Config:
                 raise ConfigError(
                     "parallelism.pipeline > 1 is only supported for the "
                     "res_slimvit trunk")
+            if self.model.moe_experts:
+                raise ConfigError(
+                    "model.moe_experts inside a pipelined trunk is future "
+                    "work (the stacked-block pipeline shares one Block "
+                    "template; MoE blocks alternate with dense ones)")
+        if self.model.moe_experts and self.model.preset != "res_slimvit":
+            raise ConfigError(
+                "model.moe_experts is only supported for the res_slimvit "
+                "trunk (models/components/moe.py)")
+        if self.parallelism.expert_par > 1:
+            if not self.model.moe_experts:
+                raise ConfigError(
+                    "parallelism.expert_par > 1 needs model.moe_experts > 0")
+            if self.model.moe_experts % self.parallelism.expert_par != 0:
+                raise ConfigError(
+                    f"model.moe_experts ({self.model.moe_experts}) must be "
+                    f"divisible by parallelism.expert_par "
+                    f"({self.parallelism.expert_par})")
         return self
 
 

@@ -358,6 +358,12 @@ class Block(nn.Module):
     attention_impl: str = "xla"
     gelu_tanh: bool = False
     quant: str = "none"
+    # moe_experts > 0 swaps the dense Mlp for a MoEMlp (expert-parallel
+    # mixture of experts — models/components/moe.py); the reference has no
+    # MoE, this is the `ep` slot of the parallelism taxonomy
+    moe_experts: int = 0
+    moe_capacity_factor: float = 1.25
+    moe_top_k: int = 1
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -379,12 +385,25 @@ class Block(nn.Module):
             y, deterministic, drop_path_rate)
 
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype, name="norm2")(x)
-        y = Mlp(
-            hidden_features=int(self.dim * self.mlp_ratio), drop=self.proj_drop,
-            use_bias=self.proj_bias, gelu_tanh=self.gelu_tanh,
-            quant=self.quant, dtype=self.dtype, param_dtype=self.param_dtype,
-            name="mlp",
-        )(y, deterministic)
+        if self.moe_experts > 0:
+            from orbit2_tpu.models.components.moe import MoEMlp
+
+            y = MoEMlp(
+                dim=self.dim,
+                hidden_features=int(self.dim * self.mlp_ratio),
+                num_experts=self.moe_experts,
+                capacity_factor=self.moe_capacity_factor,
+                top_k=self.moe_top_k, gelu_tanh=self.gelu_tanh,
+                dtype=self.dtype, param_dtype=self.param_dtype,
+                name="moe_mlp",
+            )(y, deterministic)
+        else:
+            y = Mlp(
+                hidden_features=int(self.dim * self.mlp_ratio), drop=self.proj_drop,
+                use_bias=self.proj_bias, gelu_tanh=self.gelu_tanh,
+                quant=self.quant, dtype=self.dtype, param_dtype=self.param_dtype,
+                name="mlp",
+            )(y, deterministic)
         if self.init_values:
             y = LayerScale(self.dim, self.init_values, self.param_dtype, name="ls2")(y)
         x = x + DropPath(self.drop_path, name="drop_path2")(

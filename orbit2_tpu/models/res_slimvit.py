@@ -108,6 +108,15 @@ class ResSlimViT(nn.Module):
     # unchanged.
     pipeline_stages: int = 1
     pipeline_microbatches: int = 0  # 0 -> = pipeline_stages
+    # Mixture-of-Experts trunk (models/components/moe.py — no reference
+    # counterpart, fills the `ep` parallelism slot): every moe_every-th
+    # Block swaps its dense Mlp for moe_experts experts; weights shard over
+    # the mesh's "expert" axis. Not composable with pipeline_stages > 1
+    # (config.py rejects the pair).
+    moe_experts: int = 0
+    moe_every: int = 2
+    moe_capacity_factor: float = 1.25
+    moe_top_k: int = 1
     # base_img_size freezes pos_embed's param shape across dataset phases
     # (reference keeps the construction-time shape and resizes on the fly)
     base_img_size: Optional[Tuple[int, int]] = None
@@ -301,11 +310,18 @@ class ResSlimViT(nn.Module):
                 block_cls = nn.remat(Block, static_argnums=(2,), policy=policy)
             tokens = self._seq_constraint(tokens)
             for i in range(self.depth):
+                # MoE lands in every moe_every-th block (2nd, 4th, ... —
+                # the GShard/Switch "every other layer" convention)
+                moe_here = (self.moe_experts > 0
+                            and (i + 1) % self.moe_every == 0)
                 blk = block_cls(
                     dim=D, num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
                     qkv_bias=True, proj_drop=self.drop_rate, attn_drop=self.drop_rate,
                     drop_path=float(dpr[i]), attention_impl=self.attention_impl,
                     gelu_tanh=self.gelu_approx == "tanh", quant=self.quant,
+                    moe_experts=self.moe_experts if moe_here else 0,
+                    moe_capacity_factor=self.moe_capacity_factor,
+                    moe_top_k=self.moe_top_k,
                     dtype=self.dtype, param_dtype=self.param_dtype, name=f"blocks_{i}",
                 )
                 tokens = self._seq_constraint(blk(tokens, deterministic))

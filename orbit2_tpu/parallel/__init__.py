@@ -1,4 +1,5 @@
 from orbit2_tpu.parallel.mesh import (
+    AXIS_EXPERT,
     AXIS_FSDP,
     AXIS_REPLICA,
     AXIS_SEQ,

@@ -33,6 +33,7 @@ AXIS_FSDP = "fsdp"
 AXIS_TENSOR = "tensor"
 AXIS_SEQ = "seq"
 AXIS_STAGE = "stage"
+AXIS_EXPERT = "expert"
 
 # activations: batch is sharded over both data axes
 BATCH_AXES = (AXIS_REPLICA, AXIS_FSDP)
@@ -44,18 +45,20 @@ def make_mesh(
     tensor: int = 1,
     seq: int = 1,
     stage: int = 1,
+    expert: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
-    want = replica * fsdp * tensor * seq * stage
+    want = replica * fsdp * tensor * seq * stage * expert
     if want > len(devices):
         raise ValueError(
-            f"mesh {stage}x{replica}x{fsdp}x{seq}x{tensor}={want} > "
+            f"mesh {stage}x{replica}x{fsdp}x{expert}x{seq}x{tensor}={want} > "
             f"{len(devices)} devices"
         )
-    arr = np.asarray(devices[:want]).reshape(stage, replica, fsdp, seq, tensor)
-    return Mesh(arr, (AXIS_STAGE, AXIS_REPLICA, AXIS_FSDP, AXIS_SEQ,
-                      AXIS_TENSOR))
+    arr = np.asarray(devices[:want]).reshape(
+        stage, replica, fsdp, expert, seq, tensor)
+    return Mesh(arr, (AXIS_STAGE, AXIS_REPLICA, AXIS_FSDP, AXIS_EXPERT,
+                      AXIS_SEQ, AXIS_TENSOR))
 
 
 def mesh_from_config(parallelism, devices=None) -> Mesh:
@@ -65,6 +68,7 @@ def mesh_from_config(parallelism, devices=None) -> Mesh:
         tensor=parallelism.tensor_par,
         seq=parallelism.seq_par,
         stage=getattr(parallelism, "pipeline", 1),
+        expert=getattr(parallelism, "expert_par", 1),
         devices=devices,
     )
 

@@ -30,10 +30,19 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from orbit2_tpu.parallel.mesh import AXIS_FSDP, AXIS_STAGE, AXIS_TENSOR
+from orbit2_tpu.parallel.mesh import (AXIS_EXPERT, AXIS_FSDP, AXIS_STAGE,
+                                      AXIS_TENSOR)
 
 # (path regex, spec builder given ndim)
 _RULES: List[Tuple[str, Any]] = [
+    # MoE expert stacks (models/components/moe.py): experts over the
+    # `expert` axis, the per-expert fc1/fc2 keep the dense Mlp's
+    # column/row tensor split behind the leading E dim. The fp32 router
+    # kernel [D, E] is tiny and stays replicated (falls through to P()).
+    (r"moe_mlp/wi$", P(AXIS_EXPERT, AXIS_FSDP, AXIS_TENSOR)),
+    (r"moe_mlp/bi$", P(AXIS_EXPERT, AXIS_TENSOR)),
+    (r"moe_mlp/wo$", P(AXIS_EXPERT, AXIS_TENSOR, AXIS_FSDP)),
+    (r"moe_mlp/bo$", P(AXIS_EXPERT, None)),
     # tensor-parallel column splits (output dim on tensor)
     (r"(attn/qkv|mlp/fc1)/kernel$", P(AXIS_FSDP, AXIS_TENSOR)),
     (r"(attn/qkv|mlp/fc1)/bias$", P(AXIS_TENSOR)),

@@ -61,6 +61,7 @@ def make_train_step(
     debug_grad_norms: bool = False,
     grad_accum: int = 1,
     aux_collections: Sequence[str] = (),
+    moe_aux_weight: float = 0.01,
 ):
     """Returns jitted step(params, opt_state, x, y, rng) -> (params, opt_state, loss).
 
@@ -83,31 +84,48 @@ def make_train_step(
     in_variables = tuple(in_variables)
     out_variables = tuple(out_variables)
     aux_collections = tuple(aux_collections)
+    # MoE trunks sow their Switch load-balance losses into the "moe_loss"
+    # collection (models/components/moe.py); the step pops them out of the
+    # mutable state (they are per-step values, NOT threaded aux state) and
+    # adds moe_aux_weight x their mean to the task loss.
+    moe_on = getattr(model, "moe_experts", 0)
+    moe_aux_weight = float(moe_aux_weight) if moe_on else 0.0
 
     def loss_fn(p, a, xb, yb, r):
         # drop_path is a distinct stream so inference paths that want ONLY
         # Dropout active (MC-dropout, reference mc_dropout.py:4-7) can omit
         # it; training supplies both
         rngs = dict(zip(("dropout", "drop_path"), jax.random.split(r)))
-        if aux_collections:
+        mut = list(aux_collections) + (["moe_loss"] if moe_on else [])
+        if mut:
             yhat, new_a = model.apply(
                 {"params": p, **a}, xb, in_variables, out_variables,
                 deterministic=False, rngs=rngs,
-                mutable=list(aux_collections),
+                mutable=mut,
             )
+            moe_sown = new_a.get("moe_loss") if moe_on else None
+            new_a = ({k: v for k, v in new_a.items() if k != "moe_loss"}
+                     if aux_collections else a)
         else:
             yhat = model.apply(
                 {"params": p}, xb, in_variables, out_variables,
                 deterministic=False, rngs=rngs,
             )
             new_a = a
+            moe_sown = None
         yhat = yhat.astype(jnp.float32)
         yhat = clip_replace_constant(yb, yhat, out_variables)
         y_ = _crop_to_match(yhat, yb)
         losses = train_loss_metric(
             yhat, y_, var_names=list(out_variables), var_weights=var_weights
         )
-        return (losses if losses.ndim == 0 else losses[-1]), new_a
+        loss = losses if losses.ndim == 0 else losses[-1]
+        if moe_sown is not None:
+            leaves = jax.tree.leaves(moe_sown)
+            if leaves:  # mean over MoE layers, == 1.0 at perfect balance
+                aux = sum(jnp.asarray(l, jnp.float32) for l in leaves)
+                loss = loss + moe_aux_weight * aux / len(leaves)
+        return loss, new_a
 
     def _constrain_batch(xb, yb):
         """Keep microbatches data-sharded under an active mesh — without the

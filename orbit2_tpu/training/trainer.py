@@ -151,6 +151,10 @@ class Trainer:
             remat_policy=c.trainer.remat_policy,
             pipeline_stages=c.parallelism.pipeline,
             pipeline_microbatches=c.parallelism.pipeline_microbatches,
+            moe_experts=c.model.moe_experts,
+            moe_every=c.model.moe_every,
+            moe_capacity_factor=c.model.moe_capacity_factor,
+            moe_top_k=c.model.moe_top_k,
         )
         (model, train_loss, val_losses, test_losses, _, val_transforms,
          test_transforms) = loader(
@@ -242,7 +246,10 @@ class Trainer:
         with self.mesh:
             variables = jax.jit(init_fn, out_shardings=out_sh)(rng)
         params = variables["params"]
-        self.aux = {k: v for k, v in variables.items() if k != "params"}
+        # "moe_loss" is sown per-step (models/components/moe.py), not
+        # threaded training state — keep it out of the aux tree
+        self.aux = {k: v for k, v in variables.items()
+                    if k not in ("params", "moe_loss")}
         n = sum(int(np.prod(v.shape)) for v in jax.tree.leaves(params))
         log.info("initialized %.2fM params on mesh %s%s", n / 1e6,
                  dict(self.mesh.shape),
@@ -264,7 +271,8 @@ class Trainer:
             variables = phase_model.init(
                 {"params": r}, dummy, tuple(in_vars), tuple(out_vars),
                 deterministic=True)
-            return {k: v for k, v in variables.items() if k != "params"}
+            return {k: v for k, v in variables.items()
+                    if k not in ("params", "moe_loss")}
 
         if set(jax.eval_shape(aux_only, jax.random.PRNGKey(0))):
             with self.mesh:
@@ -376,6 +384,7 @@ class Trainer:
                         debug_grad_norms=self.debug_grad_norms,
                         grad_accum=c.trainer.grad_accum,
                         aux_collections=tuple(sorted(self.aux)),
+                        moe_aux_weight=c.model.moe_aux_weight,
                     )
                 train_step = steps[data_key]
 

@@ -208,6 +208,10 @@ def load_architecture(
     remat_policy="full",
     pipeline_stages=1,
     pipeline_microbatches=0,
+    moe_experts=0,
+    moe_every=2,
+    moe_capacity_factor=1.25,
+    moe_top_k=1,
     **_ignored,
 ):
     """reference loaders.py:259-387. tensor_par_size/group args are gone: the
@@ -312,6 +316,10 @@ def load_architecture(
                 remat_policy=remat_policy,
                 pipeline_stages=pipeline_stages,
                 pipeline_microbatches=pipeline_microbatches,
+                moe_experts=moe_experts,
+                moe_every=moe_every,
+                moe_capacity_factor=moe_capacity_factor,
+                moe_top_k=moe_top_k,
                 dtype=dtype,
             )
         raise_not_impl()

@@ -122,6 +122,8 @@ def plan_train_memory(cfg, *, img, in_channels: int, out_channels: int,
         # config (parallel/pipeline.py)
         pipeline_stages=int(dict(mesh.shape).get("stage", 1)),
         pipeline_microbatches=c.parallelism.pipeline_microbatches,
+        moe_experts=m.moe_experts, moe_every=m.moe_every,
+        moe_capacity_factor=m.moe_capacity_factor, moe_top_k=m.moe_top_k,
         dtype=jnp.bfloat16 if c.trainer.data_type == "bfloat16" else jnp.float32,
     )
     h, w = img
@@ -154,7 +156,8 @@ def plan_train_memory(cfg, *, img, in_channels: int, out_channels: int,
 
     loss = METRICS_REGISTRY[c.trainer.train_loss](aggregate_only=True)
     step = make_train_step(model, loss, None, tx, in_vars, out_vars,
-                           mesh=mesh, grad_accum=c.trainer.grad_accum)
+                           mesh=mesh, grad_accum=c.trainer.grad_accum,
+                           moe_aux_weight=m.moe_aux_weight)
 
     def _abstract(tree, shs):
         return jax.tree.map(

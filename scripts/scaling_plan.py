@@ -36,7 +36,7 @@ def parse_mesh(spec: str):
     out = {}
     for part in spec.split(","):
         k, _, v = part.partition("=")
-        if k not in ("stage", "replica", "fsdp", "tensor", "seq"):
+        if k not in ("stage", "replica", "fsdp", "expert", "tensor", "seq"):
             raise SystemExit(f"unknown mesh axis {k!r} in --mesh {spec!r}")
         out[k] = int(v)
     return out
@@ -68,6 +68,11 @@ def main():
     ap.add_argument("--out-channels", type=int, default=3)
     ap.add_argument("--ici-gbps", type=float, default=None,
                     help="ICI GB/s per device for the naive time bound")
+    ap.add_argument("--topology", default=None, metavar="NAME",
+                    help="AOT-compile against an offline TPU topology "
+                         "(e.g. v5e:2x4) instead of local/virtual devices "
+                         "— real collective dtypes (bf16 param gathers) "
+                         "and HBM temp sizes; needs libtpu, not chips")
     args = ap.parse_args()
 
     cfg = load_config(args.config)
@@ -79,14 +84,15 @@ def main():
             cfg, img=tuple(args.img), batch=batch, n_devices=args.choose,
             in_channels=args.in_channels, out_channels=args.out_channels,
             hbm_bytes=int(args.hbm_gb * 2**30) if args.hbm_gb else None,
-            ici_gbytes_per_sec=args.ici_gbps, max_stage=args.max_stage)
+            ici_gbytes_per_sec=args.ici_gbps, max_stage=args.max_stage,
+            topology=args.topology)
         rows = res["rows"]
     elif args.mesh:
         rows = plan_mesh_scaling(
             cfg, img=tuple(args.img), batch=batch,
             mesh_shapes=[parse_mesh(m) for m in args.mesh],
             in_channels=args.in_channels, out_channels=args.out_channels,
-            ici_gbytes_per_sec=args.ici_gbps)
+            ici_gbytes_per_sec=args.ici_gbps, topology=args.topology)
     else:
         raise SystemExit("pass --mesh (repeatable) or --choose N_DEVICES")
     for row in rows:

@@ -34,18 +34,27 @@ def test_collective_inventory_counts_and_bytes():
     # the fused gradient-sync tuple whose >5 elements embed /*index=N*/
     # comments (7 x 4*4=112B) — XLA emits the DP grad all-reduce exactly
     # like that, so dropping it would zero the tool's headline number
-    assert ops["all-reduce"] == {"count": 3, "bytes": 64 + 32 + 112}
+    assert ops["all-reduce"] == {
+        "count": 3, "bytes": 64 + 32 + 112,
+        "bytes_by_dtype": {"bf16": 64, "f32": 32 + 112}}
     # async pair counts ONCE, at the -done result (8*8*2=128B), not the
     # -start tuple (which would double-count the operand buffer)
-    assert ops["all-gather"] == {"count": 1, "bytes": 128}
-    assert ops["collective-permute"] == {"count": 1, "bytes": 64}
+    assert ops["all-gather"] == {
+        "count": 1, "bytes": 128, "bytes_by_dtype": {"bf16": 128}}
+    assert ops["collective-permute"] == {
+        "count": 1, "bytes": 64, "bytes_by_dtype": {"bf16": 64}}
     assert inv["total_count"] == 5
     assert inv["total_bytes"] == 64 + 32 + 112 + 128 + 64
+    # the dtype split is the mixed-precision-collectives tell: TPU gathers
+    # fp32 masters in bf16; large f32 buckets flag a CPU-backend compile
+    assert inv["total_bytes_by_dtype"] == {"bf16": 64 + 128 + 64,
+                                           "f32": 32 + 112}
 
 
 def test_collective_inventory_empty_on_collective_free_hlo():
     inv = collective_inventory("ENTRY %main { ROOT %x = f32[2] parameter(0) }")
-    assert inv == {"ops": {}, "total_count": 0, "total_bytes": 0}
+    assert inv == {"ops": {}, "total_count": 0, "total_bytes": 0,
+                   "total_bytes_by_dtype": {}}
 
 
 def _tiny_cfg():
@@ -145,3 +154,40 @@ def test_plan_mesh_scaling_survives_impossible_shapes():
         mesh_shapes=[{"fsdp": 512}, {"fsdp": 2}])
     assert "error" in rows[0] and "mesh" in rows[0]
     assert "error" not in rows[1]  # the sweep continues past failures
+
+
+def test_plan_mesh_scaling_on_tpu_topology():
+    """Offline-topology mode: compile against the real TPU compiler (no
+    chips). The TPU pipeline sinks dtype converts into collectives, so a
+    bf16-compute config must show its param all-gathers in bf16 — the
+    number CPU-virtual planning gets wrong (module docstring)."""
+    import pytest
+
+    from orbit2_tpu.utils.scaling import topology_devices
+
+    try:
+        topology_devices("v5e:2x4")
+    except RuntimeError as e:
+        pytest.skip(f"no TPU topology support on this host: {e}")
+    rows = plan_mesh_scaling(
+        _tiny_cfg(), img=(8, 16), batch=8,
+        mesh_shapes=[{"fsdp": 4, "tensor": 2}], topology="v5e:2x4")
+    (row,) = rows
+    assert "error" not in row, row
+    assert row["topology"] == "v5e:2x4"
+    by_dtype = row["collectives"]["total_bytes_by_dtype"]
+    assert by_dtype.get("bf16", 0) > by_dtype.get("f32", 0)
+
+
+def test_candidate_meshes_enumerate_expert_shapes_only_for_moe():
+    moe = candidate_meshes(8, batch=8, num_heads=2, num_experts=4)
+    ep = [s for s in moe if s.get("expert", 1) > 1]
+    assert ep, "a 4-expert config on 8 devices must admit expert-parallel shapes"
+    for s in ep:
+        assert 4 % s["expert"] == 0
+        assert (s["expert"] * s["replica"] * s["fsdp"] * s["seq"]
+                * s["tensor"]) == 8
+    # expert=8 would not divide 4 experts; dense configs get none at all
+    assert all(s.get("expert", 1) <= 4 for s in moe)
+    assert all("expert" not in s
+               for s in candidate_meshes(8, batch=8, num_heads=2))
