@@ -61,8 +61,8 @@ def test_plan_train_memory_reports_sharded_layout():
     plan = plan_train_memory(_tiny_cfg(), img=(8, 16), in_channels=7,
                              out_channels=3, batch=8)
     assert plan["params"] > 0
-    assert plan["mesh"] == {"stage": 1, "replica": 1, "fsdp": 4, "seq": 1,
-                            "tensor": 2}
+    assert plan["mesh"] == {"stage": 1, "replica": 1, "fsdp": 4, "expert": 1,
+                            "seq": 1, "tensor": 2}
     # fp32 master params shard over fsdp x tensor: per-device bytes must be
     # well under the replicated footprint (small norm/bias leaves replicate)
     assert 0 < plan["param_bytes_per_device"] < plan["params"] * 4

@@ -41,7 +41,7 @@ def test_eight_devices_available():
 def test_mesh_axes_and_layout():
     mesh = make_mesh(replica=2, fsdp=2, tensor=2)
     assert dict(mesh.shape) == {"stage": 1, "replica": 2, "fsdp": 2,
-                                "seq": 1, "tensor": 2}
+                                "expert": 1, "seq": 1, "tensor": 2}
 
 
 def test_spec_rules():
