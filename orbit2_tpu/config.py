@@ -214,6 +214,10 @@ class ModelConfig:
                 raise ConfigError("model.moe_every must be >= 1")
             if self.moe_top_k not in (1, 2):
                 raise ConfigError("model.moe_top_k must be 1 or 2")
+            if self.moe_top_k > self.moe_experts:
+                raise ConfigError(
+                    f"model.moe_top_k ({self.moe_top_k}) must be <= "
+                    f"model.moe_experts ({self.moe_experts})")
             if self.moe_capacity_factor <= 0:
                 raise ConfigError("model.moe_capacity_factor must be > 0")
 
@@ -303,6 +307,17 @@ class Config:
             raise ConfigError(
                 "model.moe_experts is only supported for the res_slimvit "
                 "trunk (models/components/moe.py)")
+        if self.model.moe_experts and self.model.moe_every > self.model.depth:
+            raise ConfigError(
+                f"model.moe_every ({self.model.moe_every}) > model.depth "
+                f"({self.model.depth}) produces zero MoE layers; lower "
+                f"moe_every or set moe_experts: 0")
+        if self.model.moe_experts and self.parallelism.seq_par > 1:
+            raise ConfigError(
+                "model.moe_experts with parallelism.seq_par > 1 is future "
+                "work: MoE dispatch/combine pin the token dim replicated "
+                "(models/components/moe.py), so a sharded seq axis would "
+                "force a full token all-gather per MoE block")
         if self.parallelism.expert_par > 1:
             if not self.model.moe_experts:
                 raise ConfigError(

@@ -388,12 +388,20 @@ class Block(nn.Module):
         if self.moe_experts > 0:
             from orbit2_tpu.models.components.moe import MoEMlp
 
+            if self.quant != "none":
+                # expert FFNs have no int8 path yet; silently serving them
+                # unquantized would misrepresent w8a8 eval numbers
+                raise ValueError(
+                    "quant != 'none' is not supported for MoE blocks "
+                    "(moe_experts > 0): the expert FFN has no quantized "
+                    "path; serve the model with quant='none'")
             y = MoEMlp(
                 dim=self.dim,
                 hidden_features=int(self.dim * self.mlp_ratio),
                 num_experts=self.moe_experts,
                 capacity_factor=self.moe_capacity_factor,
-                top_k=self.moe_top_k, gelu_tanh=self.gelu_tanh,
+                top_k=self.moe_top_k, drop=self.proj_drop,
+                gelu_tanh=self.gelu_tanh,
                 dtype=self.dtype, param_dtype=self.param_dtype,
                 name="moe_mlp",
             )(y, deterministic)

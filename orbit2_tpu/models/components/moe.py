@@ -84,6 +84,7 @@ class MoEMlp(nn.Module):
     num_experts: int
     capacity_factor: float = 1.25
     top_k: int = 1
+    drop: float = 0.0
     gelu_tanh: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
@@ -92,6 +93,10 @@ class MoEMlp(nn.Module):
     def __call__(self, x, deterministic: bool = True):
         if self.top_k not in (1, 2):
             raise ValueError(f"moe top_k must be 1 or 2, got {self.top_k}")
+        if self.top_k > self.num_experts:
+            raise ValueError(
+                f"moe top_k ({self.top_k}) must be <= num_experts "
+                f"({self.num_experts})")
         B, L, D = x.shape
         E, H, K = self.num_experts, self.hidden_features, self.top_k
         C = max(1, math.ceil(L / E * self.capacity_factor * K))
@@ -119,6 +124,11 @@ class MoEMlp(nn.Module):
         for _ in range(K):
             idx = jnp.argmax(remaining, axis=-1)               # [B, L]
             oh = jax.nn.one_hot(idx, E, dtype=jnp.float32)     # [B, L, E]
+            # mask the pick when every remaining prob is zero (fp32 softmax
+            # underflow) so a round never re-places a token on expert 0
+            alive = (jnp.max(remaining, axis=-1, keepdims=True)
+                     > 0.0).astype(jnp.float32)
+            oh = oh * alive
             gates.append(jnp.sum(probs * oh, axis=-1))         # [B, L]
             onehots.append(oh)
             remaining = remaining * (1.0 - oh)
@@ -150,6 +160,9 @@ class MoEMlp(nn.Module):
         out = out + bo.astype(self.dtype)[:, None, None, :]
         out = _expert_sharding_constraint(out, batch_first=False)
         y = jnp.einsum("blec,ebcd->bld", combine.astype(self.dtype), out)
+        if self.drop > 0.0:
+            # mirror the dense Mlp's proj dropout on the block output path
+            y = nn.Dropout(rate=self.drop)(y, deterministic=deterministic)
 
         # --- load-balance aux loss (Switch) ----------------------------
         # f_e: fraction of tokens whose ROUND-0 choice is e; p_e: mean

@@ -185,8 +185,77 @@ def test_moe_config_validation():
                parallelism=ParallelismConfig(pipeline=2)).validate()
     with pytest.raises(ConfigError, match="res_slimvit"):
         Config(model=ModelConfig(moe_experts=4, preset="vit")).validate()
+    with pytest.raises(ConfigError, match="moe_top_k"):
+        Config(model=ModelConfig(moe_experts=1, moe_top_k=2)).validate()
+    with pytest.raises(ConfigError, match="zero MoE layers"):
+        Config(model=ModelConfig(moe_experts=4, depth=2,
+                                 moe_every=3)).validate()
+    with pytest.raises(ConfigError, match="seq_par"):
+        Config(model=ModelConfig(moe_experts=4, num_heads=16),
+               parallelism=ParallelismConfig(seq_par=2)).validate()
     # a valid MoE + EP config passes
     _moe_cfg(expert_par=2)
+
+
+def test_moe_block_rejects_quant():
+    """w8a8 serving of a MoE trunk must fail loudly, not silently serve
+    unquantized expert FFNs (advisor r4 medium finding)."""
+    from orbit2_tpu.models.components.blocks import Block
+
+    x = _x(d=32)
+    blk = Block(dim=32, num_heads=2, moe_experts=2, quant="w8a8")
+    with pytest.raises(ValueError, match="quant"):
+        blk.init({"params": jax.random.PRNGKey(0)}, x)
+
+
+def test_moe_mlp_applies_proj_dropout():
+    """drop > 0 must actually drop in training mode (advisor r4 medium
+    finding: MoE blocks silently lost MLP dropout)."""
+    x = _x()
+    moe = MoEMlp(dim=32, hidden_features=64, num_experts=2,
+                 capacity_factor=2.0, drop=0.5)
+    v = moe.init({"params": jax.random.PRNGKey(1)}, x)
+    y_det, _ = moe.apply({"params": v["params"]}, x, True,
+                         mutable=["moe_loss"])
+    y_tr, _ = moe.apply({"params": v["params"]}, x, False,
+                        mutable=["moe_loss"],
+                        rngs={"dropout": jax.random.PRNGKey(2)})
+    # training output differs from deterministic; some entries exactly 0
+    assert not np.allclose(np.asarray(y_det), np.asarray(y_tr))
+    frac_zero = float((np.asarray(y_tr) == 0).mean())
+    assert frac_zero > 0.2
+
+
+def test_moe_top_k2_single_expert_no_double_placement():
+    """top_k=2 with an all-zero second round must not re-place tokens on
+    expert 0 (advisor r4 low finding). Construct E=2 where one expert's
+    prob underflows to exactly 0 for every token: round 2 must place
+    nothing for those tokens rather than re-picking expert 0."""
+    # capacity_factor=1.0 with top_k=2 -> C == L: expert 0 can hold every
+    # token ONCE. The pre-fix bug re-picked expert 0 in round 2, burning a
+    # second (over-capacity, dropped) slot per token while the gate
+    # renormalization split 0.5/0.5 — halving the output.
+    moe = MoEMlp(dim=32, hidden_features=64, num_experts=2,
+                 capacity_factor=1.0, top_k=2)
+    x = jnp.ones((2, 16, 32))  # identical tokens, all-positive
+    v = moe.init({"params": jax.random.PRNGKey(1)}, x)
+    p = dict(v["params"])
+    # router saturates softmax: logit margin 10*32=320 -> prob_1 == 0 in fp32
+    rk = np.zeros((32, 2), np.float32)
+    rk[:, 0] = 10.0
+    p["router_kernel"] = jnp.asarray(rk)
+    probs = jax.nn.softmax(x[0, 0] @ jnp.asarray(rk))
+    assert float(probs[1]) == 0.0  # underflow case actually constructed
+    y, _ = moe.apply({"params": p}, x, True, mutable=["moe_loss"])
+    # surviving round-0 gate must renormalize to 1.0 -> output == the
+    # single-expert dense pass, not half of it
+    dense = Mlp(hidden_features=64, out_features=32, drop=0.0)
+    y_dense = dense.apply(
+        {"params": {"fc1": {"kernel": p["wi"][0], "bias": p["bi"][0]},
+                    "fc2": {"kernel": p["wo"][0], "bias": p["bo"][0]}}},
+        x, True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_dense),
+                               rtol=1e-5, atol=1e-5)
 
 
 def test_trainer_moe_fit_smoke(synth_dataset, tmp_path):
