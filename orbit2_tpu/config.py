@@ -99,6 +99,13 @@ class ParallelismConfig:
     intermediate_downscaling.py:449); total devices = fsdp * simple_ddp *
     tensor_par * seq_par."""
 
+    # auto: true lets the Trainer pick the mesh at startup via the scaling
+    # planner (utils/scaling.py::choose_mesh — least collective traffic
+    # among HBM-fitting candidates for the live device count); the explicit
+    # axis sizes below must then stay at their defaults. This replaces the
+    # reference's hand-tuned per-config rank layouts
+    # (reference configs/interm_10b.yaml:15-17).
+    auto: bool = False
     fsdp: int = 1
     simple_ddp: int = 1
     tensor_par: int = 1
@@ -137,6 +144,11 @@ class ParallelismConfig:
                 f"got {self.seq_impl}")
         if self.pipeline_microbatches < 0:
             raise ConfigError("parallelism.pipeline_microbatches must be >= 0")
+        if self.auto and self.world_size != 1:
+            raise ConfigError(
+                "parallelism.auto picks the mesh itself — remove the "
+                "explicit fsdp/simple_ddp/tensor_par/seq_par/pipeline/"
+                "expert_par sizes (or set auto: false)")
         if self.pipeline > 1 and self.seq_par > 1:
             raise ConfigError(
                 "parallelism.pipeline composes with fsdp/simple_ddp/"

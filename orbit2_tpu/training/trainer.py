@@ -44,7 +44,6 @@ class Trainer:
             from orbit2_tpu.ops.seq_attention import set_seq_impl
 
             set_seq_impl(self.cfg.parallelism.seq_impl)
-        self.mesh = mesh if mesh is not None else mesh_from_config(config.parallelism)
         self.checkpoint_dir = checkpoint_dir
         self.run_validation = run_validation
         self.metrics = MetricsLogger(metrics_path)
@@ -58,6 +57,72 @@ class Trainer:
         self.lr_schedule = None
         self.history: list = []
         self._data_modules: Dict[str, Any] = {}
+        if mesh is not None:
+            self.mesh = mesh
+        elif self.cfg.parallelism.auto:
+            self.mesh = self._auto_mesh()
+        else:
+            self.mesh = mesh_from_config(config.parallelism)
+
+    def _auto_mesh(self):
+        """parallelism: auto — resolve the mesh with the scaling planner.
+
+        Enumerates every valid axis factorization for the live device count
+        (utils/scaling.py::candidate_meshes), AOT-plans each (per-device
+        memory + the partitioner's own collective choices), drops shapes
+        that exceed the device HBM, and takes the least-traffic survivor.
+        The chosen shape is written back into cfg.parallelism, and the full
+        candidate table is logged so the decision is auditable. Replaces
+        the reference's hand-tuned per-config rank layouts
+        (reference configs/interm_10b.yaml:15-17)."""
+        from orbit2_tpu.utils.scaling import choose_mesh
+
+        c = self.cfg
+        key = next(iter(c.data.low_res_dir))
+        dm = self._data_modules.get(key)
+        if dm is None:
+            dm = self._make_data_module(key)
+            dm.setup()
+            self._data_modules[key] = dm
+        in_shape, out_shape = dm.get_data_dims()
+        hbm = None
+        try:
+            stats = jax.local_devices()[0].memory_stats() or {}
+            hbm = stats.get("bytes_limit")
+        except Exception:
+            pass
+        res = choose_mesh(
+            c, img=tuple(in_shape[-2:]), batch=c.trainer.batch_size,
+            n_devices=jax.device_count(), in_channels=int(in_shape[1]),
+            out_channels=int(out_shape[1]), hbm_bytes=hbm)
+        chosen = res["chosen"]
+        if chosen is None:
+            raise ValueError(
+                f"parallelism: auto found no viable mesh for "
+                f"{jax.device_count()} devices (batch {c.trainer.batch_size}"
+                f", hbm {hbm}); candidates: "
+                f"{[r.get('mesh') for r in res['rows']]}")
+        shape = chosen["mesh"]
+        p = c.parallelism
+        p.fsdp = int(shape.get("fsdp", 1))
+        p.simple_ddp = int(shape.get("replica", 1))
+        p.tensor_par = int(shape.get("tensor", 1))
+        p.seq_par = int(shape.get("seq", 1))
+        p.pipeline = int(shape.get("stage", 1))
+        p.expert_par = int(shape.get("expert", 1))
+        p.auto = False  # resolved: the config is concrete from here on
+        log.info("parallelism auto chose mesh %s (of %d candidates)",
+                 shape, len(res["rows"]))
+        self.metrics.log(
+            "auto_mesh", chosen=shape,
+            candidates=[{
+                "mesh": r.get("mesh"),
+                "total_bytes_per_device": r.get("total_bytes_per_device"),
+                "collective_bytes": (r.get("collectives") or {}).get(
+                    "total_bytes"),
+                "error": r.get("error"),
+            } for r in res["rows"]])
+        return mesh_from_config(p)
 
     # -- construction ---------------------------------------------------------
 
@@ -280,7 +345,15 @@ class Trainer:
                     jax.random.PRNGKey(self.cfg.trainer.seed))
             log.info("initialized aux collections: %s", sorted(self.aux))
 
-    def _put_batch(self, x, y):
+    def _put_batch(self, x, y, dtype=None):
+        """Stage one (x, y) batch onto the mesh. When `dtype` is given the
+        host casts BEFORE the transfer — with data_type=bfloat16 (the
+        config default, matching the reference's end-to-end bf16 training)
+        this halves H2D bytes, which is the whole Trainer-loop bottleneck
+        on thin links (docs/performance.md "Trainer-vs-raw-loop")."""
+        if dtype is not None:
+            x = np.asarray(x).astype(dtype)
+            y = np.asarray(y).astype(dtype)
         sh = batch_sharding(self.mesh)
         if jax.process_count() > 1:
             # each process loads its own file-shard of the data
@@ -415,6 +488,20 @@ class Trainer:
                             np.asarray(dm.num_batches("train"), np.int32)))
                         sync_steps = int(counts.min())
 
+                    # data_type=bfloat16 (config default; the reference
+                    # trains bf16 end-to-end) casts batches ON THE HOST so
+                    # the H2D transfer ships half the bytes
+                    stage_dtype = (jnp.bfloat16
+                                   if c.trainer.data_type == "bfloat16"
+                                   else None)
+                    # host-side wait split, reported per epoch: data_wait_s
+                    # is time blocked on the staging pipeline (loader + H2D
+                    # ahead-queue), fence_wait_s is time blocked on device
+                    # readbacks — together they attribute the epoch wall to
+                    # input pipeline vs device compute from telemetry alone
+                    data_wait_s = fence_wait_s = 0.0
+                    h2d_bytes = 0
+
                     def _staged(loader):
                         # device_prefetch: stage H2D transfers `depth` batches
                         # ahead so the copy overlaps the previous step's compute
@@ -422,15 +509,26 @@ class Trainer:
 
                         def put(batch):
                             # batch is (x, y, [mask,] in_vars, out_vars)
-                            return self._put_batch(batch[0], batch[1])
+                            return self._put_batch(batch[0], batch[1],
+                                                   dtype=stage_dtype)
 
                         return device_prefetch(loader, put, depth=2)
 
-                    for batch_idx, (x, y) in enumerate(_staged(dm.train_dataloader())):
+                    staged_it = iter(_staged(dm.train_dataloader()))
+                    batch_idx = -1
+                    while True:
+                        batch_idx += 1
+                        tw = time.perf_counter()
+                        try:
+                            x, y = next(staged_it)
+                        except StopIteration:
+                            break
+                        data_wait_s += time.perf_counter() - tw
                         if max_steps_per_epoch and batch_idx >= max_steps_per_epoch:
                             break
                         if sync_steps is not None and batch_idx >= sync_steps:
                             break
+                        h2d_bytes += x.nbytes + y.nbytes
                         rng, step_rng = jax.random.split(rng)
                         with self.mesh:
                             if self.aux:
@@ -449,15 +547,22 @@ class Trainer:
                         # sync per 32 steps keeps dispatch pipelined while
                         # bounding run-ahead residency to <=32 batches.
                         if nbatches % 32 == 0:
+                            tf_ = time.perf_counter()
                             float(loss)
+                            fence_wait_s += time.perf_counter() - tf_
+                    tf_ = time.perf_counter()
                     epoch_loss = (float(jnp.stack(step_losses).sum())
                                   if step_losses else 0.0)
+                    fence_wait_s += time.perf_counter() - tf_
                     dt = time.perf_counter() - t0
                     record = {
                         "epoch": epoch, "data_key": data_key,
                         "loss": epoch_loss / max(1, nbatches),
                         "batches": nbatches, "seconds": dt,
                         "lr": self.lr_schedule(epoch),
+                        "data_wait_s": round(data_wait_s, 4),
+                        "fence_wait_s": round(fence_wait_s, 4),
+                        "h2d_bytes": h2d_bytes,
                     }
                     # epoch-boundary HBM telemetry (TPU/GPU; None on CPU) —
                     # the reference prints torch.cuda.memory_reserved here

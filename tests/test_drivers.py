@@ -521,3 +521,42 @@ def test_data_seed_decouples_data_order_from_model_seed(driver_cfg, tmp_path):
     b2 = np.asarray(next(iter(dm2.train_dataloader()))[0])
     assert b1.shape == b2.shape
     assert np.abs(b1 - b2).max() > 0
+
+
+def test_parallelism_auto_resolves_mesh_and_trains(driver_cfg, tmp_path):
+    """parallelism: auto — the Trainer runs the scaling planner at startup,
+    picks the least-traffic HBM-fitting mesh for the live device count
+    (8 virtual), writes it back into cfg.parallelism, logs the candidate
+    table, and trains (VERDICT r4 next #7)."""
+    import json
+
+    from orbit2_tpu.config import load_config
+    from orbit2_tpu.training.trainer import Trainer
+
+    driver_cfg["parallelism"] = {"auto": True}
+    metrics_path = tmp_path / "metrics.jsonl"
+    t = Trainer(load_config(driver_cfg),
+                checkpoint_dir=str(tmp_path / "ck"),
+                metrics_path=str(metrics_path))
+    shape = dict(t.mesh.shape)
+    assert int(np.prod(list(shape.values()))) == 8
+    p = t.cfg.parallelism
+    assert (p.fsdp, p.simple_ddp, p.tensor_par, p.seq_par, p.pipeline,
+            p.expert_par) == (shape["fsdp"], shape["replica"],
+                              shape["tensor"], shape["seq"], shape["stage"],
+                              shape["expert"])
+    assert not p.auto  # resolved to a concrete config
+    hist = t.fit(max_epochs=1, max_steps_per_epoch=2)
+    assert hist and np.isfinite(hist[-1]["loss"])
+    # the decision is auditable: chosen + candidate rows in the JSONL
+    recs = [json.loads(l) for l in metrics_path.read_text().splitlines()]
+    auto = [r for r in recs if r.get("event") == "auto_mesh"]
+    assert auto and auto[0]["chosen"] == shape
+    assert len(auto[0]["candidates"]) >= 2
+
+
+def test_parallelism_auto_rejects_explicit_sizes():
+    from orbit2_tpu.config import Config, ConfigError, ParallelismConfig
+
+    with pytest.raises(ConfigError, match="auto"):
+        Config(parallelism=ParallelismConfig(auto=True, fsdp=2)).validate()
