@@ -120,6 +120,12 @@ class ParallelismConfig:
     pipeline: int = 1
     # GPipe microbatches per step; 0 -> = pipeline. Must divide batch_size.
     pipeline_microbatches: int = 0
+    # Megatron-style interleaved/circular schedule: each stage holds this
+    # many round-robin chunks of depth/(pipeline*interleave) blocks, and a
+    # microbatch rides the stage ring that many times — shrinks the
+    # fill/drain bubble by the same factor (parallel/pipeline.py). Needs
+    # microbatches >= pipeline so wraps land before re-admission.
+    pipeline_interleave: int = 1
     # expert parallelism for MoE trunks (models/components/moe.py; needs
     # model.moe_experts > 0 and moe_experts % expert_par == 0)
     expert_par: int = 1
@@ -135,7 +141,7 @@ class ParallelismConfig:
 
     def validate(self):
         for name in ("fsdp", "simple_ddp", "tensor_par", "seq_par",
-                     "pipeline", "expert_par"):
+                     "pipeline", "expert_par", "pipeline_interleave"):
             if getattr(self, name) < 1:
                 raise ConfigError(f"parallelism.{name} must be >= 1")
         if self.seq_impl not in ("gather", "ring", "ulysses"):
@@ -295,17 +301,29 @@ class Config:
         if self.model.num_heads % self.parallelism.tensor_par != 0:
             # reference asserts the same (intermediate_downscaling.py:168)
             raise ConfigError("num_heads must be divisible by tensor_par")
+        if (self.parallelism.pipeline_interleave > 1
+                and self.parallelism.pipeline == 1):
+            raise ConfigError(
+                "parallelism.pipeline_interleave > 1 needs pipeline > 1")
         if self.parallelism.pipeline > 1:
-            if self.model.depth % self.parallelism.pipeline != 0:
+            sv = (self.parallelism.pipeline
+                  * self.parallelism.pipeline_interleave)
+            if self.model.depth % sv != 0:
                 raise ConfigError(
                     f"model.depth ({self.model.depth}) must be divisible by "
-                    f"parallelism.pipeline ({self.parallelism.pipeline})")
+                    f"parallelism.pipeline x pipeline_interleave ({sv})")
             mb = (self.parallelism.pipeline_microbatches
                   or self.parallelism.pipeline)
             if self.trainer.batch_size % mb != 0:
                 raise ConfigError(
                     f"trainer.batch_size ({self.trainer.batch_size}) must be "
                     f"divisible by pipeline microbatches ({mb})")
+            if (self.parallelism.pipeline_interleave > 1
+                    and mb < self.parallelism.pipeline):
+                raise ConfigError(
+                    f"pipeline_interleave > 1 needs microbatches ({mb}) >= "
+                    f"pipeline ({self.parallelism.pipeline}) so wrapped "
+                    f"activations arrive before re-admission")
             if self.model.preset != "res_slimvit":
                 raise ConfigError(
                     "parallelism.pipeline > 1 is only supported for the "

@@ -108,6 +108,12 @@ class ResSlimViT(nn.Module):
     # unchanged.
     pipeline_stages: int = 1
     pipeline_microbatches: int = 0  # 0 -> = pipeline_stages
+    # Megatron-style interleaved (circular) schedule: each stage holds
+    # `pipeline_interleave` round-robin chunks of depth/(S*V) blocks and a
+    # microbatch rides the stage ring V times, shrinking the fill/drain
+    # bubble from (S-1)/(M+S-1) to (S-1)/(V*M+S-1). Params then live as
+    # [V, S, dc, ...] under "blocks_stacked_iv" (parallel/pipeline.py).
+    pipeline_interleave: int = 1
     # Mixture-of-Experts trunk (models/components/moe.py — no reference
     # counterpart, fills the `ep` parallelism slot): every moe_every-th
     # Block swaps its dense Mlp for moe_experts experts; weights shard over
@@ -343,9 +349,10 @@ class ResSlimViT(nn.Module):
 
         D = self.embed_dim
         S = self.pipeline_stages
-        if self.depth % S:
+        if self.depth % (S * self.pipeline_interleave):
             raise ValueError(
-                f"depth {self.depth} not divisible by pipeline_stages {S}")
+                f"depth {self.depth} not divisible by pipeline_stages x "
+                f"interleave {S}x{self.pipeline_interleave}")
         if self.seq_shard:
             raise ValueError("pipeline_stages > 1 is incompatible with "
                              "seq_shard (v1 scope; see parallel/pipeline.py)")
@@ -357,6 +364,8 @@ class ResSlimViT(nn.Module):
             dtype=self.dtype, param_dtype=self.param_dtype, parent=None,
         )
 
+        V = self.pipeline_interleave
+
         def init_stacked(rng):
             # param shapes are impl-independent; init with the cheap naive
             # attention on a tiny token count
@@ -366,9 +375,11 @@ class ResSlimViT(nn.Module):
                 t_init.init({"params": k}, dummy, True)["params"]
                 for k in jax.random.split(rng, self.depth)
             ]
-            return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+            flat = jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+            return pp.to_interleaved(flat, S, V) if V > 1 else flat
 
-        stacked = self.param(pp.STACKED_KEY, init_stacked)
+        stacked = self.param(
+            pp.STACKED_IV_KEY if V > 1 else pp.STACKED_KEY, init_stacked)
 
         rngs = {}
         if not deterministic:
@@ -390,9 +401,10 @@ class ResSlimViT(nn.Module):
         if pp.stage_mesh_size() == S:
             return pp.pipeline_blocks(
                 block_fn, stacked, tokens, dpr_arr, stages=S,
-                microbatches=self.pipeline_microbatches, rngs=rngs)
+                microbatches=self.pipeline_microbatches, interleave=V,
+                rngs=rngs)
         return pp.apply_stacked_sequential(
-            block_fn, stacked, tokens, dpr_arr, rngs=rngs)
+            block_fn, stacked, tokens, dpr_arr, rngs=rngs, interleave=V)
 
     def _unpatchify(self, y, H, W):
         """[B, L, out*(mag*p)^2] -> [B, out, H*mag, W*mag].

@@ -34,6 +34,27 @@ stacked params carry the Megatron column/row specs behind the leading
 stage dim, parallel/sharding.py::spec_for). seq_par inside a pipelined
 trunk is rejected at config validation (config.py): the trunk-level token
 constraints live outside the pipeline body.
+
+Why there is no literal "1F1B" schedule here (and what replaces it):
+
+  * 1F1B's MEMORY benefit (store S in-flight activation sets instead of M)
+    presumes stages can launch a microbatch's backward as soon as its loss
+    gradient exists. Under jax.grad the pipeline is one dataflow program:
+    every microbatch's cotangent arrives only after the decoder head + loss
+    (which run OUTSIDE the stage shard_map) finish for all microbatches, so
+    the forward has already materialized its per-tick residuals before any
+    backward can start. The expressible memory-optimal point is per-tick
+    rematerialization — `trainer.remat` wraps block_fn in jax.checkpoint,
+    dropping per-tick residuals to one microbatch INPUT each (exactly the
+    tensors a JAX 1F1B would have to carry in scan state anyway, since
+    scan carries must be arrays, not vjp closures).
+  * 1F1B's BUBBLE benefit does apply under SPMD — fill/drain ticks waste
+    (S-1)/(M+S-1) of the step — and is delivered here by the
+    Megatron-style INTERLEAVED (circular) schedule instead: with
+    `interleave=V` each stage holds V round-robin chunks of depth/(S*V)
+    blocks and microbatches loop through the ring V times; per-tick work
+    shrinks by V, so the relative bubble drops to (S-1)/(V*M + S-1).
+    V=1 is the plain GPipe schedule.
 """
 
 from __future__ import annotations
@@ -47,7 +68,31 @@ import jax.numpy as jnp
 from orbit2_tpu.parallel.mesh import AXIS_STAGE
 
 STACKED_KEY = "blocks_stacked"
+# interleave > 1 stores the stack as [V, S, dc, ...] under its own key so
+# sharding rules (P(None, "stage", None, ...)) and checkpoint conversions
+# can tell the layouts apart by name, not by rank guessing. C-order reshape:
+# element [v, s, j] is canonical block (v*S + s)*dc + j — stage s owns its
+# interleaved round-robin chunks with NO permutation anywhere.
+STACKED_IV_KEY = "blocks_stacked_iv"
 _BLOCK_RE = re.compile(r"^blocks_(\d+)$")
+
+
+def to_interleaved(stacked, stages: int, interleave: int):
+    """[depth, ...] stacked tree -> [V, S, dc, ...] interleaved layout."""
+    depth = jax.tree.leaves(stacked)[0].shape[0]
+    S, V = int(stages), int(interleave)
+    if depth % (S * V):
+        raise ValueError(
+            f"depth {depth} not divisible by stages*interleave {S}*{V}")
+    dc = depth // (S * V)
+    return jax.tree.map(lambda a: a.reshape(V, S, dc, *a.shape[1:]), stacked)
+
+
+def from_interleaved(iv):
+    """[V, S, dc, ...] interleaved tree -> [depth, ...] canonical stack."""
+    return jax.tree.map(
+        lambda a: a.reshape(a.shape[0] * a.shape[1] * a.shape[2],
+                            *a.shape[3:]), iv)
 
 
 def stack_block_params(params: Dict, key: str = STACKED_KEY) -> Dict:
@@ -97,10 +142,15 @@ def apply_stacked_sequential(
     x,
     dpr,
     rngs: Optional[Dict] = None,
+    interleave: int = 1,
 ):
     """Reference semantics for the pipelined trunk: apply the stacked blocks
     one after another (used at init time and when no stage mesh is active).
-    block_fn(params_j, x, rate_j, rngs_j) -> x."""
+    block_fn(params_j, x, rate_j, rngs_j) -> x. Pass interleave > 1 when
+    `stacked` is in the [V, S, dc, ...] layout (flattens back to canonical
+    block order — a pure reshape)."""
+    if interleave > 1:
+        stacked = from_interleaved(stacked)
     depth = jax.tree.leaves(stacked)[0].shape[0]
     for j in range(depth):
         p_j = jax.tree.map(lambda a, j=j: a[j], stacked)
@@ -118,9 +168,11 @@ def pipeline_blocks(
     *,
     stages: int,
     microbatches: int = 0,
+    interleave: int = 1,
     rngs: Optional[Dict] = None,
 ):
-    """Run `x` through the stacked blocks with a GPipe schedule over the
+    """Run `x` through the stacked blocks with a GPipe (interleave=1) or
+    Megatron-style interleaved/circular (interleave=V>1) schedule over the
     ambient mesh's `stage` axis.
 
     block_fn(params_j, x, drop_path_rate_j, rngs_j or None) -> x, where
@@ -129,69 +181,141 @@ def pipeline_blocks(
 
     x: [B, L, D] — global over the auto (data) axes. B must be divisible by
     `microbatches` (default: = stages).
+
+    With interleave=V, stage s holds V chunks of depth/(S*V) blocks: chunk v
+    covers global blocks [(v*S+s)*dc, (v*S+s+1)*dc). A microbatch traverses
+    the stage ring V times (the wrap S-1 -> 0 rides the same ppermute ring);
+    per-tick work is 1/V of a GPipe stage, so the fill/drain bubble drops
+    from (S-1)/(M+S-1) to (S-1)/(V*M+S-1) of the step. Requires M >= S so a
+    wrapped activation is always back at stage 0 before its next admission.
     """
     from jax.sharding import PartitionSpec as P
 
-    depth = jax.tree.leaves(stacked)[0].shape[0]
     S = int(stages)
+    V = int(interleave) if interleave else 1
     M = int(microbatches) if microbatches else S
-    if S < 1 or depth % S:
-        raise ValueError(f"depth {depth} not divisible by stages {S}")
+    lead = jax.tree.leaves(stacked)[0].shape
+    if V > 1:
+        # interleaved layout must be pre-shaped [V, S, dc, ...] (the model
+        # stores it that way, sharded P(None, "stage", ...)): reshaping a
+        # stage-sharded [depth, ...] stack here would trigger a per-step
+        # all-to-all resharding of every trunk weight
+        if len(lead) < 3 or lead[0] != V or lead[1] != S:
+            raise ValueError(
+                f"interleave={V}: stacked params must be [V, S, dc, ...] "
+                f"(see to_interleaved); got leading shape {lead[:3]}")
+        depth = V * S * lead[2]
+    else:
+        depth = lead[0]
+    if S < 1 or V < 1 or depth % (S * V):
+        raise ValueError(
+            f"depth {depth} not divisible by stages*interleave {S}*{V}")
     if x.shape[0] % M:
         raise ValueError(
             f"batch {x.shape[0]} not divisible by microbatches {M} "
             "(set parallelism.pipeline_microbatches to a divisor)")
+    if V > 1 and M < S:
+        raise ValueError(
+            f"interleave {V} > 1 needs microbatches ({M}) >= stages ({S}) "
+            "so wrapped activations arrive before re-admission")
     if stage_mesh_size() != S:
         raise ValueError(
             f"pipeline_stages={S} but ambient mesh stage axis is "
             f"{stage_mesh_size()} — build the mesh with stage={S}")
-    d_s = depth // S
+    dc = depth // (S * V)  # blocks per (stage, chunk)
     rngs = rngs or {}
 
-    def body(stacked_local, dpr_local, x_full, rng_dict):
+    # uniform [V, S, dc, ...] view; for V == 1 the reshape splits the
+    # stage-sharded leading dim outermost — layout-preserving, no comms
+    stacked_r = (stacked if V > 1 else jax.tree.map(
+        lambda a: a.reshape(1, S, dc, *a.shape[1:]), stacked))
+    dpr_r = jnp.asarray(dpr).reshape(V, S, dc)
+
+    def body(stacked_l, dpr_l, x_full, rng_dict):
+        # local shapes: stacked_l [V, 1, dc, ...], dpr_l [V, 1, dc]
         stage = jax.lax.axis_index(AXIS_STAGE)
         mb = x_full.shape[0] // M
         xs = x_full.reshape(M, mb, *x_full.shape[1:])
 
-        def stage_fn(x, t):
-            for j in range(d_s):
-                p_j = jax.tree.map(lambda a, j=j: a[j], stacked_local)
-                g = stage * d_s + j  # global block index
-                r = {k: jax.random.fold_in(jax.random.fold_in(v, t), g)
-                     for k, v in rng_dict.items()} or None
-                x = block_fn(p_j, x, dpr_local[j], r)
+        def chunk_fn(v, x, t):
+            """Apply this stage's chunk v (static) at tick t."""
+            for j in range(dc):
+                p_j = jax.tree.map(lambda a, j=j: a[v, 0, j], stacked_l)
+                g = (v * S + stage) * dc + j  # global block index
+                r = {k: jax.random.fold_in(jax.random.fold_in(kk, t), g)
+                     for k, kk in rng_dict.items()} or None
+                x = block_fn(p_j, x, dpr_l[v, 0, j], r)
             return x
 
-        T = M + S - 1
-        varying = lambda v: jax.lax.pcast(v, (AXIS_STAGE,), to="varying")
+        T = V * M + S - 1
+        varying = lambda a: jax.lax.pcast(a, (AXIS_STAGE,), to="varying")
         out0 = varying(jnp.zeros_like(xs))
         y0 = varying(jnp.zeros_like(xs[0]))
+        # stage-0 wait buffer for wrapped activations (rounds 1..V-1)
+        buf0 = varying(jnp.zeros_like(xs)) if V > 1 else None
 
         def tick(carry, t):
-            y_prev, out = carry
-            feed = jax.lax.dynamic_index_in_dim(
-                xs, jnp.clip(t, 0, M - 1), 0, keepdims=False)
+            y_prev, out, buf = carry
+            # q: admission tick (at stage 0) of the work this stage runs
+            # now; v = q // M is its round, m = q % M its microbatch
+            q = t - stage
+            v = jnp.clip(q // M, 0, V - 1)
+            m = jnp.clip(q, 0, V * M - 1) % M
+
+            if V > 1:
+                # stage 0 first banks the incoming wrap (work admitted at
+                # q_in = t - S, computed by stage S-1 last tick) — M >= S
+                # guarantees it lands before its round-(v+1) admission
+                q_in = t - S
+                bank = jnp.logical_and(
+                    stage == 0,
+                    jnp.logical_and(q_in >= 0, q_in < (V - 1) * M))
+                bm = jnp.clip(q_in, 0, V * M - 1) % M
+                cur = jax.lax.dynamic_index_in_dim(buf, bm, 0,
+                                                   keepdims=False)
+                buf = jax.lax.dynamic_update_index_in_dim(
+                    buf, jnp.where(bank, y_prev, cur), bm, 0)
+
+            fresh = jax.lax.dynamic_index_in_dim(
+                xs, jnp.clip(q, 0, M - 1), 0, keepdims=False)
+            if V > 1:
+                waited = jax.lax.dynamic_index_in_dim(buf, m, 0,
+                                                      keepdims=False)
+                feed = jnp.where(q < M, fresh, waited)
+            else:
+                feed = fresh
             x_in = jnp.where(stage == 0, feed, y_prev)
-            y = stage_fn(x_in, t)
-            # last stage writes finished microbatch t-(S-1) into the output
-            widx = t - (S - 1)
+
+            if V > 1:
+                y = jax.lax.switch(
+                    v, [lambda xx, tt, vv=vv: chunk_fn(vv, xx, tt)
+                        for vv in range(V)], x_in, t)
+            else:
+                y = chunk_fn(0, x_in, t)
+
+            # last stage finishing round V-1 writes the microbatch output
+            widx = t - (S - 1) - (V - 1) * M
             wc = jnp.clip(widx, 0, M - 1)
             cur = jax.lax.dynamic_index_in_dim(out, wc, 0, keepdims=False)
-            valid = jnp.logical_and(stage == S - 1, widx >= 0)
+            done = jnp.logical_and(stage == S - 1, widx >= 0)
             out = jax.lax.dynamic_update_index_in_dim(
-                out, jnp.where(valid, y, cur), wc, 0)
-            y_next = jax.lax.ppermute(
-                y, AXIS_STAGE, [(i, i + 1) for i in range(S - 1)])
-            return (y_next, out), None
+                out, jnp.where(done, y, cur), wc, 0)
+            # ring hop; with interleave the S-1 -> 0 wrap carries rounds
+            perm = [(i, i + 1) for i in range(S - 1)]
+            if V > 1:
+                perm.append((S - 1, 0))
+            y_next = jax.lax.ppermute(y, AXIS_STAGE, perm)
+            return (y_next, out, buf), None
 
-        (_, out), _ = jax.lax.scan(tick, (y0, out0), jnp.arange(T))
+        (_, out, _), _ = jax.lax.scan(tick, (y0, out0, buf0),
+                                      jnp.arange(T))
         # only the last stage holds real outputs; make them stage-invariant
         out = jax.lax.psum(out * (stage == S - 1), AXIS_STAGE)
         return out.reshape(x_full.shape)
 
     return jax.shard_map(
         body,
-        in_specs=(P(AXIS_STAGE), P(AXIS_STAGE), P(), P()),
+        in_specs=(P(None, AXIS_STAGE), P(None, AXIS_STAGE), P(), P()),
         out_specs=P(),
         axis_names={AXIS_STAGE},
-    )(stacked, dpr, x, rngs)
+    )(stacked_r, dpr_r, x, rngs)

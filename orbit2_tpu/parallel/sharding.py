@@ -81,6 +81,13 @@ def spec_for(path: str, shape: Tuple[int, ...], mesh: Mesh) -> P:
     # trailing dims: the pipeline body's shard_map is manual ONLY over
     # stage, so the tensor/fsdp axes stay under GSPMD auto-sharding and the
     # usual Megatron column/row splits apply unchanged behind the stack.
+    if "blocks_stacked_iv/" in path:
+        # interleaved pipeline layout [V, S, dc, ...]: the STAGE dim is the
+        # second — each stage owns its V round-robin chunks in place
+        # (parallel/pipeline.py STACKED_IV_KEY)
+        inner_path = path.split("blocks_stacked_iv/", 1)[1]
+        inner = spec_for(inner_path, shape[3:], mesh)
+        return _fit(P(None, AXIS_STAGE, None, *tuple(inner)), shape, mesh)
     if "blocks_stacked/" in path:
         inner_path = path.split("blocks_stacked/", 1)[1]
         inner = spec_for(inner_path, shape[1:], mesh)

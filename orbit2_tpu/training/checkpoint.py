@@ -130,18 +130,39 @@ def load_pretrained_params(params, pretrained, patch_size: int,
 
     from orbit2_tpu.ops.pos_embed import interpolate_pos_embed_checkpoint
     from orbit2_tpu.parallel.pipeline import (
-        STACKED_KEY, stack_block_params, unstack_block_params)
+        STACKED_IV_KEY, STACKED_KEY, from_interleaved, stack_block_params,
+        to_interleaved, unstack_block_params)
 
     # Layout interop with the pipelined trunk (parallel/pipeline.py): a
-    # pipelined model stores blocks STACKED under "blocks_stacked"; a
-    # vanilla model stores per-block blocks_{i} subtrees. Convert the
-    # SOURCE to the target's layout so fine-tuning across the two works in
-    # both directions (depth mismatches then fall out as ordinary
+    # pipelined model stores blocks STACKED under "blocks_stacked"
+    # ([depth, ...]) or — with an interleaved schedule — under
+    # "blocks_stacked_iv" ([V, S, dc, ...], a pure C-order reshape of the
+    # canonical stack); a vanilla model stores per-block blocks_{i}
+    # subtrees. Convert the SOURCE to the target's layout so fine-tuning
+    # works across all pairs (depth mismatches then fall out as ordinary
     # shape/missing drops below).
     try:
         tgt_keys = set(params)
         src_keys = set(pretrained)
-        if STACKED_KEY in tgt_keys and STACKED_KEY not in src_keys and any(
+        # 1) normalize an interleaved source to the canonical stack
+        if STACKED_IV_KEY in src_keys:
+            pretrained = dict(pretrained)
+            pretrained[STACKED_KEY] = from_interleaved(
+                pretrained.pop(STACKED_IV_KEY))
+            src_keys = set(pretrained)
+        # 2) shape the source like the target
+        if STACKED_IV_KEY in tgt_keys:
+            if STACKED_KEY not in src_keys and any(
+                    k.startswith("blocks_") for k in src_keys):
+                pretrained = stack_block_params(pretrained)
+                src_keys = set(pretrained)
+            if STACKED_KEY in src_keys:
+                lead = jtu.tree_leaves(params[STACKED_IV_KEY])[0].shape
+                pretrained = dict(pretrained)
+                pretrained[STACKED_IV_KEY] = to_interleaved(
+                    pretrained.pop(STACKED_KEY), stages=lead[1],
+                    interleave=lead[0])
+        elif STACKED_KEY in tgt_keys and STACKED_KEY not in src_keys and any(
                 k.startswith("blocks_") for k in src_keys):
             pretrained = stack_block_params(pretrained)
         elif STACKED_KEY in src_keys and STACKED_KEY not in tgt_keys:

@@ -216,6 +216,7 @@ class Trainer:
             remat_policy=c.trainer.remat_policy,
             pipeline_stages=c.parallelism.pipeline,
             pipeline_microbatches=c.parallelism.pipeline_microbatches,
+            pipeline_interleave=c.parallelism.pipeline_interleave,
             moe_experts=c.model.moe_experts,
             moe_every=c.model.moe_every,
             moe_capacity_factor=c.model.moe_capacity_factor,

@@ -316,3 +316,170 @@ def test_pipeline_model_rejects_seq_shard():
     with pytest.raises(ValueError, match="seq_shard"):
         m.init({"params": jax.random.PRNGKey(0)}, _x(2), DEFAULT_VARS,
                OUT_VARS, deterministic=True)
+
+
+# -- interleaved (circular) schedule ---------------------------------------
+
+def _vanilla_and_interleaved(depth=4, stages=2, interleave=2, mb=4, **kw):
+    """Same weights: vanilla per-block model and the interleaved-pipeline
+    model fed to_interleaved(stack_block_params(vanilla params))."""
+    from orbit2_tpu.parallel.pipeline import to_interleaved
+
+    mv = tiny_model(depth=depth, **kw)
+    pv = mv.init({"params": jax.random.PRNGKey(0)}, _x(2), DEFAULT_VARS,
+                 OUT_VARS, deterministic=True)["params"]
+    mp = tiny_model(depth=depth, pipeline_stages=stages,
+                    pipeline_interleave=interleave,
+                    pipeline_microbatches=mb, **kw)
+    flat = stack_block_params(pv)
+    piv = dict(flat)
+    piv["blocks_stacked_iv"] = to_interleaved(
+        piv.pop("blocks_stacked"), stages, interleave)
+    return mv, pv, mp, piv
+
+
+def test_interleaved_param_layout_and_specs():
+    mesh = make_mesh(stage=2, fsdp=2, tensor=2)
+    m = tiny_model(depth=4, pipeline_stages=2, pipeline_interleave=2,
+                   pipeline_microbatches=4)
+    params = m.init({"params": jax.random.PRNGKey(0)}, _x(4), DEFAULT_VARS,
+                    OUT_VARS, deterministic=True)["params"]
+    assert "blocks_stacked_iv" in params and "blocks_stacked" not in params
+    qkv = params["blocks_stacked_iv"]["attn"]["qkv"]["kernel"]
+    assert qkv.shape[:3] == (2, 2, 1)  # [V, S, dc]
+    specs = param_specs(params, mesh)
+    sq = tuple(specs["blocks_stacked_iv"]["attn"]["qkv"]["kernel"])
+    # stage on dim 1 (each stage owns its V chunks in place), Megatron
+    # column split behind the stack
+    assert sq[:3] == (None, "stage", None) and sq[3:] == ("fsdp", "tensor")
+
+
+def test_interleaved_forward_matches_vanilla_on_mesh():
+    mv, pv, mp, piv = _vanilla_and_interleaved()
+    x = _x(8)
+    ref = mv.apply({"params": pv}, x, DEFAULT_VARS, OUT_VARS,
+                   deterministic=True)
+    # no-mesh fallback first (sequential over the iv layout)
+    seq = mp.apply({"params": piv}, x, DEFAULT_VARS, OUT_VARS,
+                   deterministic=True)
+    np.testing.assert_allclose(np.asarray(seq), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    mesh = make_mesh(stage=2, replica=2, fsdp=2)
+    with mesh:
+        sp = shard_params(piv, mesh)
+        xs = jax.device_put(x, batch_sharding(mesh))
+        out = jax.jit(lambda p, x: mp.apply(
+            {"params": p}, x, DEFAULT_VARS, OUT_VARS, deterministic=True)
+        )(sp, xs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_interleaved_depth8_microbatches4():
+    """Deeper trunk, V=2, M=4 > S=2: wrap scheduling exercises the stage-0
+    wait buffer across several rounds."""
+    mv, pv, mp, piv = _vanilla_and_interleaved(depth=8, stages=2,
+                                               interleave=2, mb=4)
+    x = _x(8)
+    ref = mv.apply({"params": pv}, x, DEFAULT_VARS, OUT_VARS,
+                   deterministic=True)
+    mesh = make_mesh(stage=2, fsdp=2, tensor=2)
+    with mesh:
+        sp = shard_params(piv, mesh)
+        xs = jax.device_put(x, batch_sharding(mesh))
+        out = jax.jit(lambda p, x: mp.apply(
+            {"params": p}, x, DEFAULT_VARS, OUT_VARS, deterministic=True)
+        )(sp, xs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_interleaved_grads_match_vanilla():
+    mv, pv, mp, piv = _vanilla_and_interleaved()
+    from orbit2_tpu.parallel.pipeline import from_interleaved
+
+    x = _x(4)
+    y = jnp.asarray(
+        np.random.default_rng(1).normal(size=(4, 3, 64, 128)), jnp.float32)
+
+    def loss_v(p):
+        out = mv.apply({"params": p}, x, DEFAULT_VARS, OUT_VARS,
+                       deterministic=True)
+        return jnp.mean((out - y) ** 2)
+
+    def loss_p(p):
+        out = mp.apply({"params": p}, x, DEFAULT_VARS, OUT_VARS,
+                       deterministic=True)
+        return jnp.mean((out - y) ** 2)
+
+    g_ref = jax.grad(loss_v)(pv)
+    mesh = make_mesh(stage=2, fsdp=2, tensor=2)
+    with mesh:
+        sp = shard_params(piv, mesh)
+        g_pp = jax.jit(jax.grad(loss_p))(sp)
+    g_pp = jax.device_get(g_pp)
+    g_pp["blocks_stacked"] = from_interleaved(g_pp.pop("blocks_stacked_iv"))
+    g_pp = unstack_block_params(g_pp)
+    flat_ref = jax.tree_util.tree_leaves_with_path(g_ref)
+    flat_pp = jax.tree_util.tree_leaves_with_path(g_pp)
+    for (pa, la), (pb, lb) in zip(sorted(flat_ref, key=lambda t: str(t[0])),
+                                  sorted(flat_pp, key=lambda t: str(t[0]))):
+        assert str(pa) == str(pb)
+        np.testing.assert_allclose(np.asarray(lb), np.asarray(la),
+                                   rtol=5e-4, atol=1e-5)
+
+
+def test_interleaved_pretrain_import():
+    """vanilla blocks_{i} ckpt -> interleaved target and back."""
+    from orbit2_tpu.training.checkpoint import load_pretrained_params
+
+    mv, pv, mp, piv = _vanilla_and_interleaved()
+    x = _x(2)
+    ref = mv.apply({"params": pv}, x, DEFAULT_VARS, OUT_VARS,
+                   deterministic=True)
+
+    tgt = mp.init({"params": jax.random.PRNGKey(7)}, x, DEFAULT_VARS,
+                  OUT_VARS, deterministic=True)["params"]
+    merged, report = load_pretrained_params(tgt, pv, patch_size=2)
+    assert not report["dropped"]
+    out = mp.apply({"params": merged}, x, DEFAULT_VARS, OUT_VARS,
+                   deterministic=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+    # interleaved ckpt -> vanilla target
+    tgt_v = mv.init({"params": jax.random.PRNGKey(8)}, x, DEFAULT_VARS,
+                    OUT_VARS, deterministic=True)["params"]
+    merged_v, report_v = load_pretrained_params(tgt_v, piv, patch_size=2)
+    assert not report_v["dropped"]
+    out_v = mv.apply({"params": merged_v}, x, DEFAULT_VARS, OUT_VARS,
+                     deterministic=True)
+    np.testing.assert_allclose(np.asarray(out_v), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_interleave_config_validation():
+    base = dict(
+        trainer=dict(task="downscaling", batch_size=8),
+        model=dict(preset="res_slimvit", depth=4, num_heads=4),
+        data=dict(default_vars=list(DEFAULT_VARS),
+                  dict_in_variables={"d": list(DEFAULT_VARS)},
+                  dict_out_variables={"d": list(OUT_VARS)},
+                  low_res_dir={"d": "/tmp/x"}, high_res_dir={"d": "/tmp/y"},
+                  spatial_resolution={"d": 625.0}),
+    )
+    cfg = load_config({**base, "parallelism": dict(
+        pipeline=2, pipeline_interleave=2, pipeline_microbatches=4)})
+    assert cfg.parallelism.pipeline_interleave == 2
+    with pytest.raises(ConfigError, match="pipeline > 1"):
+        load_config({**base,
+                     "parallelism": dict(pipeline_interleave=2)})
+    with pytest.raises(ConfigError, match="divisible by"):
+        load_config({**base, "parallelism": dict(
+            pipeline=2, pipeline_interleave=4,
+            pipeline_microbatches=4)})  # depth 4 % (2*4)
+    with pytest.raises(ConfigError, match="microbatches"):
+        load_config({**base, "model": dict(preset="res_slimvit", depth=16,
+                                           num_heads=4),
+                     "parallelism": dict(pipeline=4, pipeline_interleave=2,
+                                         pipeline_microbatches=2)})
