@@ -291,7 +291,14 @@ def main():
         # uncredited attention FLOPs are ~40% of its step; docs/performance.md)
         result["vs_baseline"] = round(mfu1b / 0.45, 4)
         result["vs_baseline_basis"] = "measured_1b_mfu / 0.45 north-star MFU"
-        result["vs_baseline_117m"] = round(mfu / 0.45, 4)
+        # 117M: the 6NP basis is hardware-bounded ~31% at d=64 (measured
+        # no-LN-no-GELU bound, docs/performance.md "Round-4 fusion-floor
+        # attack"); the attention-credited MFU is the honest basis there
+        result["vs_baseline_117m"] = round(mfu_attn / 0.45, 4)
+        result["vs_baseline_117m_basis"] = ("mfu_incl_attention / 0.45 "
+                                            "(6NP is bounded ~0.31 at d=64; "
+                                            "6NP-based ratio: "
+                                            f"{round(mfu / 0.45, 4)})")
 
         # Shipped-pipeline number: Trainer.fit over an on-disk synthetic
         # dataset at the same 117M shape (data staging + collate + step),
