@@ -88,16 +88,21 @@ class ResidualBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        # BatchNorm momentum 0.9 == torch BatchNorm2d's default 0.1
+        # (reference cnn_blocks.py:90 uses the default); flax's 0.99 default
+        # converges running stats 10x slower, skewing eval early in training
         act = _activation(self.activation)
         h = PeriodicConv2D(self.features, 3, pad_width=1, dtype=self.dtype)(x)
         h = act(h)
         if self.norm:
-            h = nn.BatchNorm(use_running_average=deterministic, dtype=self.dtype)(h)
+            h = nn.BatchNorm(use_running_average=deterministic, momentum=0.9,
+                             dtype=self.dtype)(h)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = PeriodicConv2D(self.features, 3, pad_width=1, dtype=self.dtype)(h)
         h = act(h)
         if self.norm:
-            h = nn.BatchNorm(use_running_average=deterministic, dtype=self.dtype)(h)
+            h = nn.BatchNorm(use_running_average=deterministic, momentum=0.9,
+                             dtype=self.dtype)(h)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         if x.shape[-1] != self.features:
             x = nn.Conv(self.features, (1, 1), dtype=self.dtype, name="shortcut")(x)

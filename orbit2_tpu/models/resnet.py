@@ -36,7 +36,7 @@ class ResNet(nn.Module):
             x = ResidualBlock(self.hidden_channels, self.activation, norm=True,
                               dropout=self.dropout, dtype=self.dtype)(x, deterministic)
         if self.norm:
-            x = nn.BatchNorm(use_running_average=deterministic, dtype=self.dtype)(x)
+            x = nn.BatchNorm(use_running_average=deterministic, momentum=0.9, dtype=self.dtype)(x)
         x = _activation(self.activation)(x)
         x = PeriodicConv2D(self.out_channels, 7, pad_width=3, dtype=self.dtype)(x)
         return jnp.transpose(x, (0, 3, 1, 2))

@@ -79,7 +79,7 @@ class Unet(nn.Module):
                 x = Upsample(ch, dtype=self.dtype)(x)
 
         if self.norm:
-            x = nn.BatchNorm(use_running_average=deterministic, dtype=self.dtype)(x)
+            x = nn.BatchNorm(use_running_average=deterministic, momentum=0.9, dtype=self.dtype)(x)
         x = _activation(self.activation)(x)
         x = PeriodicConv2D(self.out_channels, 7, pad_width=3, dtype=self.dtype)(x)
         return jnp.transpose(x, (0, 3, 1, 2))

@@ -75,3 +75,30 @@ def test_periodic_conv_transpose2d_matches_torch():
     got = m.apply(jax.tree.map(jnp.asarray, params), xn)
     np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), want,
                                rtol=1e-4, atol=1e-5)
+
+
+def test_batchnorm_momentum_matches_torch_default():
+    """BN running stats must move with torch's BatchNorm2d momentum (0.1
+    per update == flax momentum 0.9; reference cnn_blocks.py:90 uses the
+    torch default). flax's own 0.99 default converges running stats 10x
+    slower — the round-5 on-chip forecasting run evaluated at RMSE 859 vs
+    the 1.69 it reaches with reference semantics."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from orbit2_tpu.models.components.cnn import ResidualBlock
+
+    blk = ResidualBlock(features=8, norm=True)
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        3.0, 2.0, size=(4, 16, 32, 8)), jnp.float32)
+    v = blk.init({"params": jax.random.PRNGKey(0)}, x, False)
+    _, upd = blk.apply(v, x, False, mutable=["batch_stats"],
+                       rngs={"dropout": jax.random.PRNGKey(1)})
+    means = jax.tree_util.tree_leaves_with_path(upd["batch_stats"])
+    moved = [np.asarray(l) for p, l in means if "mean" in str(p)]
+    assert moved, "no running means found"
+    # one update from zero-init: running_mean == 0.1 * batch_mean, so the
+    # largest |running_mean| must exceed what a 0.99-momentum step leaves
+    biggest = max(float(np.abs(m).max()) for m in moved)
+    assert biggest > 0.02, biggest  # 0.99 momentum would leave ~1/10 of this
