@@ -321,6 +321,9 @@ def main():
                     th["samples_s"] / (batch / dt), 4),
                 "trainer_loop_basis": "Trainer.fit epochs 1-2 mean, "
                                       "on-disk synth dataset, incl. staging",
+                "trainer_loop_data_wait_s": th.get("data_wait_s"),
+                "trainer_loop_fence_wait_s": th.get("fence_wait_s"),
+                "trainer_loop_h2d_mb_per_epoch": th.get("h2d_mb_per_epoch"),
             })
         except Exception as e:  # never fail the headline on the extra stage
             result["trainer_loop_error"] = f"{type(e).__name__}: {str(e)[:200]}"

@@ -176,6 +176,12 @@ def trainer_harness():
         "bench_raw_loop_basis": 40.24,
         "harness_efficiency": round(float(np.mean(sps)) / 40.24, 4),
         "losses": [round(h["loss"], 4) for h in hist],
+        # r5 telemetry: host blocked on the staging pipeline vs on device
+        # readbacks, per epoch — attributes the harness gap from telemetry
+        "data_wait_s": [h.get("data_wait_s") for h in hist],
+        "fence_wait_s": [h.get("fence_wait_s") for h in hist],
+        "h2d_mb_per_epoch": [round((h.get("h2d_bytes") or 0) / 2**20, 1)
+                             for h in hist],
     }
 
 

@@ -106,7 +106,16 @@ def main():
         jax.tree.leaves(params)[0], dtype=np.float32).ravel()[0])
     log(f"init done in {time.time()-t0:.0f}s; probe={probe_before}")
 
-    tx = make_optimizer("sgd", {"lr": 1e-4})
+    # round 5: AdamW with bf16 moments (the shipped interm_10b
+    # adam_mu_dtype/adam_nu_dtype) — 2 x 18.8GB of moment state instead of
+    # the 2 x 37.6GB fp32 that forced SGD in round 4's run; moment
+    # arithmetic stays fp32 inside the step. Set ORBIT2_10B_OPT=sgd to
+    # reproduce the round-4 stateless run.
+    opt_name = os.environ.get("ORBIT2_10B_OPT", "adamw")
+    opt_args = ({"lr": 1e-4} if opt_name == "sgd" else
+                {"lr": 1e-4, "weight_decay": 1e-5,
+                 "mu_dtype": "bfloat16", "nu_dtype": "bfloat16"})
+    tx = make_optimizer(opt_name, opt_args)
     opt_state = tx.init(params)
     loss_metric = METRICS_REGISTRY["bayesian_tv"](aggregate_only=True)
     step = make_train_step(model, loss_metric, None, tx, DEFAULT_VARS,
@@ -129,8 +138,9 @@ def main():
         "step_seconds": round(dt, 1),
         "mesh": "replica1 x fsdp2 x seq1 x tensor4 (8 virtual cpu devices)",
         "param_dtype": "bfloat16",
-        "optimizer": "sgd (stateless; adamw fp32 state exceeds host RAM "
-                     "— its 10B compile is proven in tests/test_scale_aot.py)",
+        "optimizer": (opt_name + (" (bf16 mu+nu, fp32 arithmetic — the "
+                                  "shipped interm_10b moment dtypes)"
+                                  if opt_name == "adamw" else " (stateless)")),
         "probe_param_delta": probe_after - probe_before,
     }
     with open("/tmp/10b_step_result.json", "w") as f:
