@@ -14,6 +14,7 @@ from __future__ import annotations
 import math
 from typing import Any, Dict
 
+import jax.numpy as jnp
 import optax
 
 
@@ -113,6 +114,13 @@ def make_optimizer(name: str, hyperparams: Dict[str, Any]) -> optax.GradientTran
     injected as a mutable hyperparam so the trainer can apply the per-epoch
     schedule without rebuilding opt state."""
     lr = float(hyperparams.get("lr", 1e-3))
+    # hyperparam_dtype MUST be pinned: inject_hyperparams otherwise casts
+    # hyperparams to the params' dtype, and under bf16 params b2=0.999
+    # rounds to bf16(1.0) -> bias correction 1-b2^t == 0 -> nu/0 == NaN on
+    # every parameter after one step (found by the 10B bf16-param virtual
+    # step; affects stock optax.adamw the same way). fp32 hyperparams are
+    # correct for every param dtype.
+    f32 = {"hyperparam_dtype": jnp.float32}
     if name == "adamw":
         betas = hyperparams.get("betas", (0.9, 0.999))
         # mu_dtype / nu_dtype = bfloat16 (config trainer.adam_{mu,nu}_dtype)
@@ -123,7 +131,8 @@ def make_optimizer(name: str, hyperparams: Dict[str, Any]) -> optax.GradientTran
             nu_dtype = None
         if nu_dtype:
             return optax.inject_hyperparams(
-                _adamw_2dtypes, static_args=("mu_dtype", "nu_dtype"))(
+                _adamw_2dtypes, static_args=("mu_dtype", "nu_dtype"),
+                **f32)(
                 learning_rate=lr,
                 b1=float(betas[0]),
                 b2=float(betas[1]),
@@ -134,7 +143,7 @@ def make_optimizer(name: str, hyperparams: Dict[str, Any]) -> optax.GradientTran
                 nu_dtype=nu_dtype,
             )
         return optax.inject_hyperparams(
-            optax.adamw, static_args=("mu_dtype",))(
+            optax.adamw, static_args=("mu_dtype",), **f32)(
             learning_rate=lr,
             b1=float(betas[0]),
             b2=float(betas[1]),
@@ -143,11 +152,11 @@ def make_optimizer(name: str, hyperparams: Dict[str, Any]) -> optax.GradientTran
         )
     if name == "adam":
         betas = hyperparams.get("betas", (0.9, 0.999))
-        return optax.inject_hyperparams(optax.adam)(
+        return optax.inject_hyperparams(optax.adam, **f32)(
             learning_rate=lr, b1=float(betas[0]), b2=float(betas[1])
         )
     if name == "sgd":
-        return optax.inject_hyperparams(optax.sgd)(
+        return optax.inject_hyperparams(optax.sgd, **f32)(
             learning_rate=lr, momentum=float(hyperparams.get("momentum", 0.0))
         )
     raise NotImplementedError(f"optimizer {name} not supported")

@@ -122,6 +122,8 @@ def plan_train_memory(cfg, *, img, in_channels: int, out_channels: int,
         # config (parallel/pipeline.py)
         pipeline_stages=int(dict(mesh.shape).get("stage", 1)),
         pipeline_microbatches=c.parallelism.pipeline_microbatches,
+        pipeline_interleave=(c.parallelism.pipeline_interleave
+                             if dict(mesh.shape).get("stage", 1) > 1 else 1),
         moe_experts=m.moe_experts, moe_every=m.moe_every,
         moe_capacity_factor=m.moe_capacity_factor, moe_top_k=m.moe_top_k,
         dtype=jnp.bfloat16 if c.trainer.data_type == "bfloat16" else jnp.float32,

@@ -10,8 +10,14 @@ wraps block_fn in jax.checkpoint, dropping that to O(M x microbatch INPUT)
 (parallel/pipeline.py module docstring). This script turns that analysis
 into XLA's own numbers.
 
-XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
-  PYTHONPATH=/root/repo:/root/.axon_site python scripts/pipeline_memory_plan.py
+Plans are compiled against the OFFLINE TPU compiler (topology
+"v5e:2x4") — the CPU backend's memory analysis does NOT model
+rematerialization (measured: 1B unpipelined remat on/off both ~26.8 GB
+temp on CPU), so only the real TPU compiler's numbers are meaningful
+here.
+
+JAX_PLATFORMS=cpu PYTHONPATH=/root/repo:/root/.axon_site \
+  python scripts/pipeline_memory_plan.py
 Results: /tmp/r5_pipeline_memory.json (recorded into docs/scaling.md).
 """
 
@@ -49,6 +55,9 @@ def main():
                               num_heads=24),
         ).validate()
 
+    from orbit2_tpu.utils.scaling import topology_devices
+
+    topo = topology_devices("v5e:2x4")
     cases = [
         ("unpipelined fsdp=4xtensor=2 remat=off",
          cfg(False, fsdp=4), dict(fsdp=4, tensor=2)),
@@ -62,7 +71,7 @@ def main():
     ]
     out = []
     for name, c, mesh_kw in cases:
-        mesh = make_mesh(**mesh_kw)
+        mesh = make_mesh(**mesh_kw, devices=topo)
         try:
             plan = plan_train_memory(c, img=(32, 64), in_channels=7,
                                      out_channels=3, batch=8, mesh=mesh)

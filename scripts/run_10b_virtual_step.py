@@ -118,6 +118,19 @@ def main():
     tx = make_optimizer(opt_name, opt_args)
     opt_state = tx.init(params)
     loss_metric = METRICS_REGISTRY["bayesian_tv"](aggregate_only=True)
+    # bf16 grads (a RAM-only deviation: params here are bf16, so grads are
+    # too — the SHIPPED config trains fp32 masters where bwd overflow
+    # cannot happen) can overflow to inf in the 8192-wide attention bwd;
+    # ORBIT2_10B_LOSS_SCALE=1/S down-scales the loss so one step stays in
+    # bf16 range. AdamW's mu/sqrt(nu) is scale-invariant, so the update
+    # direction is unchanged.
+    ls = float(os.environ.get("ORBIT2_10B_LOSS_SCALE", "1"))
+    if ls != 1.0:
+        base_metric = loss_metric
+        class _Scaled:
+            def __call__(self, *a, **k):
+                return base_metric(*a, **k) * ls
+        loss_metric = _Scaled()
     step = make_train_step(model, loss_metric, None, tx, DEFAULT_VARS,
                            OUT_VARS, mesh=mesh)
 
@@ -131,8 +144,19 @@ def main():
         jax.tree.leaves(params)[0], dtype=np.float32).ravel()[0])
     log(f"step done in {dt:.0f}s; loss={loss_val}")
 
+    # NaN accounting: a finite loss does not preclude inf/NaN grads in
+    # bf16 backward — count non-finite params after the update
+    nonfinite = 0
+    with mesh:
+        for leaf in jax.tree.leaves(params):
+            nonfinite += int(jnp.sum(~jnp.isfinite(
+                leaf.astype(jnp.float32))))
+    log(f"non-finite params after step: {nonfinite}")
     result = {
-        "ok": bool(np.isfinite(loss_val)) and probe_after != probe_before,
+        "ok": bool(np.isfinite(loss_val) and probe_after != probe_before
+                   and np.isfinite(probe_after) and nonfinite == 0),
+        "nonfinite_params": nonfinite,
+        "loss_scale": float(os.environ.get("ORBIT2_10B_LOSS_SCALE", "1")),
         "params_b": round(n_params / 1e9, 3),
         "loss": loss_val,
         "step_seconds": round(dt, 1),

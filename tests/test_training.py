@@ -902,3 +902,29 @@ def test_trainer_masked_curriculum_rewires_mask_per_phase(
     wired = [r.args[0] for r in caplog.records
              if "wired validity mask" in r.getMessage()]
     assert wired and wired[0] == pytest.approx(pct(4), abs=0.1)
+
+
+def test_adamw_bf16_params_no_hyperparam_downcast():
+    """inject_hyperparams must NOT cast hyperparams to the params' dtype:
+    under bf16 params b2=0.999 rounds to bf16(1.0), making the bias
+    correction 1-b2^t exactly 0 and every update nu/0 = NaN after one step
+    (found by the round-5 10B bf16-param virtual step; stock optax.adamw
+    has the same trap). make_optimizer pins hyperparam_dtype=float32."""
+    import jax
+    import jax.numpy as jnp
+
+    from orbit2_tpu.training.optim import make_optimizer
+
+    params = {"w": jnp.asarray([0.1, -0.2, 0.0], jnp.bfloat16)}
+    grads = {"w": jnp.asarray([1e-3, -2e-3, 5e-4], jnp.bfloat16)}
+    for args in ({"lr": 1e-4, "weight_decay": 1e-5},
+                 {"lr": 1e-4, "weight_decay": 1e-5,
+                  "mu_dtype": "bfloat16", "nu_dtype": "bfloat16"}):
+        tx = make_optimizer("adamw", args)
+        st = tx.init(params)
+        hp = st.hyperparams
+        assert hp["b2"].dtype == jnp.float32
+        assert abs(float(hp["b2"]) - 0.999) < 1e-6  # bf16 would read 1.0
+        upd, _ = tx.update(grads, st, params)
+        new = jax.tree.map(lambda p, u: p + u, params, upd)
+        assert bool(jnp.isfinite(new["w"].astype(jnp.float32)).all()), new
